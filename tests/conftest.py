@@ -1,0 +1,33 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+The build machine exposes one real TPU chip; multi-device sharding is
+validated on virtual CPU devices instead. The axon sitecustomize registers the
+TPU backend unconditionally, so JAX_PLATFORMS env alone does not stick — we
+must update jax.config before the backend initializes, which this conftest
+does at collection time (before any test module imports txr)."""
+
+import os
+import sys
+
+# Keep XLA from eating all host RAM across workers.
+os.environ.setdefault("XLA_PYTHON_CLIENT_PREALLOCATE", "false")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def devices():
+    d = jax.devices()
+    assert len(d) == 8 and d[0].platform == "cpu"
+    return d

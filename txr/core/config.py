@@ -1,0 +1,61 @@
+"""Pipeline configuration dataclasses.
+
+`ReconstructionConfig` matches the reference's defaults field-for-field
+(reference: depth_to_reconstruction.py:45-73) so CLI behavior is identical.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class ReconstructionConfig:
+    """Configuration for the fusion-from-precomputed-depth pipeline."""
+
+    # Camera intrinsics (defaults match the reference's portrait-phone camera)
+    fx: float = 1719.0
+    fy: float = 1719.0
+    cx: float = 540.0
+    cy: float = 960.0
+
+    # Depth validity range in meters
+    min_depth: float = 0.1
+    max_depth: float = 50.0
+
+    # Feature matching
+    match_ratio: float = 0.75
+    min_matches: int = 50
+    ransac_threshold: float = 3.0
+
+    # Point-cloud fusion
+    voxel_size: float = 0.005
+    subsample_factor: int = 2
+
+    # Statistical outlier removal (Open3D-equivalent semantics)
+    outlier_neighbors: int = 20
+    outlier_std_ratio: float = 2.0
+
+    @property
+    def K(self) -> np.ndarray:
+        return np.array(
+            [[self.fx, 0.0, self.cx], [0.0, self.fy, self.cy], [0.0, 0.0, 1.0]],
+            dtype=np.float64,
+        )
+
+
+@dataclass
+class StreamingConfig:
+    """Configuration for the streaming (SLAM-like) reconstruction mode
+    (the README-promised reconstruction.py; reference README.md:1-19)."""
+
+    voxel_size: float = 0.01
+    max_map_points: int = 2_000_000
+    keyframe_every: int = 1
+    icp_iterations: int = 10
+    icp_max_correspondence: float = 0.1
+    min_depth: float = 0.1
+    max_depth: float = 10.0
+    subsample_factor: int = 2

@@ -1,0 +1,132 @@
+"""PLY point-cloud codec (binary little-endian + ASCII), no Open3D.
+
+Replaces the reference's Open3D writer (depth_processor.py:424-450,
+depth_to_reconstruction.py:673-703) and its manual ASCII fallback
+(depth_enhanced_reconstruction.py:1283-1311). Binary layout matches Open3D's
+default write_point_cloud output for an XYZ+RGB cloud: little-endian,
+x/y/z float32 (Open3D writes double by default — we default to float32 and
+offer double for bit-compat), red/green/blue uchar.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def write_ply(
+    path: str,
+    xyz: np.ndarray,
+    rgb: np.ndarray | None = None,
+    binary: bool = True,
+    double_precision: bool = False,
+) -> None:
+    """Write a point cloud to PLY.
+
+    Args:
+      path: output file path.
+      xyz: (N, 3) positions.
+      rgb: optional (N, 3) colors; floats in [0,1] or uint8 in [0,255].
+      binary: binary_little_endian if True, ascii otherwise.
+      double_precision: write positions as float64 (Open3D's native layout).
+    """
+    xyz = np.asarray(xyz)
+    n = xyz.shape[0]
+    pos_t = np.float64 if double_precision else np.float32
+    pos_name = "double" if double_precision else "float"
+
+    has_color = rgb is not None
+    if has_color:
+        rgb = np.asarray(rgb)
+        if rgb.dtype != np.uint8:
+            rgb = np.clip(np.round(rgb * 255.0), 0, 255).astype(np.uint8)
+
+    header = ["ply"]
+    header.append("format binary_little_endian 1.0" if binary else "format ascii 1.0")
+    header.append(f"element vertex {n}")
+    header += [f"property {pos_name} x", f"property {pos_name} y", f"property {pos_name} z"]
+    if has_color:
+        header += ["property uchar red", "property uchar green", "property uchar blue"]
+    header.append("end_header")
+    header_bytes = ("\n".join(header) + "\n").encode("ascii")
+
+    with open(path, "wb") as f:
+        f.write(header_bytes)
+        if binary:
+            if has_color:
+                rec = np.dtype(
+                    [("x", pos_t), ("y", pos_t), ("z", pos_t),
+                     ("r", np.uint8), ("g", np.uint8), ("b", np.uint8)]
+                )
+                buf = np.empty(n, dtype=rec)
+                buf["x"], buf["y"], buf["z"] = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+                buf["r"], buf["g"], buf["b"] = rgb[:, 0], rgb[:, 1], rgb[:, 2]
+                f.write(buf.tobytes())
+            else:
+                f.write(np.ascontiguousarray(xyz, dtype=pos_t).tobytes())
+        else:
+            if has_color:
+                for i in range(n):
+                    f.write(
+                        (f"{xyz[i,0]:.6f} {xyz[i,1]:.6f} {xyz[i,2]:.6f} "
+                         f"{rgb[i,0]} {rgb[i,1]} {rgb[i,2]}\n").encode("ascii")
+                    )
+            else:
+                for i in range(n):
+                    f.write(f"{xyz[i,0]:.6f} {xyz[i,1]:.6f} {xyz[i,2]:.6f}\n".encode("ascii"))
+
+
+_PLY_TYPES = {
+    "float": ("<f4", 4), "float32": ("<f4", 4),
+    "double": ("<f8", 8), "float64": ("<f8", 8),
+    "uchar": ("u1", 1), "uint8": ("u1", 1),
+    "char": ("i1", 1), "int8": ("i1", 1),
+    "short": ("<i2", 2), "ushort": ("<u2", 2),
+    "int": ("<i4", 4), "int32": ("<i4", 4),
+    "uint": ("<u4", 4), "uint32": ("<u4", 4),
+}
+
+
+def read_ply(path: str):
+    """Read a PLY point cloud. Returns (xyz float64 (N,3), rgb float64 (N,3) in
+    [0,1] or None). Supports ascii and binary_little_endian vertex elements."""
+    with open(path, "rb") as f:
+        if f.readline().strip() != b"ply":
+            raise ValueError(f"{path}: not a PLY file")
+        fmt = None
+        n = None
+        props: list[tuple[str, str]] = []
+        in_vertex = False
+        while True:
+            line = f.readline().strip().decode("ascii")
+            if line == "end_header":
+                break
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "format":
+                fmt = parts[1]
+            elif parts[0] == "element":
+                in_vertex = parts[1] == "vertex"
+                if in_vertex:
+                    n = int(parts[2])
+            elif parts[0] == "property" and in_vertex:
+                props.append((parts[1], parts[2]))
+
+        if n is None:
+            raise ValueError(f"{path}: no vertex element")
+        names = [p[1] for p in props]
+        if fmt == "ascii":
+            rows = np.loadtxt(f, max_rows=n, ndmin=2)
+            data = {name: rows[:, i] for i, name in enumerate(names)}
+        elif fmt == "binary_little_endian":
+            rec = np.dtype([(name, _PLY_TYPES[t][0]) for t, name in props])
+            raw = np.frombuffer(f.read(rec.itemsize * n), dtype=rec, count=n)
+            data = {name: raw[name].astype(np.float64) for name in names}
+        else:
+            raise ValueError(f"{path}: unsupported PLY format {fmt}")
+
+    xyz = np.stack([data["x"], data["y"], data["z"]], axis=-1)
+    rgb = None
+    if all(k in data for k in ("red", "green", "blue")):
+        rgb = np.stack([data["red"], data["green"], data["blue"]], axis=-1) / 255.0
+    return xyz, rgb
