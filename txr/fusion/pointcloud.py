@@ -1,0 +1,85 @@
+"""Dense point-cloud generation and merging.
+
+TPU-native equivalents of the reference's DensePointCloudGenerator /
+DenseReconstructor (depth_enhanced_reconstruction.py:535-645,
+depth_to_reconstruction.py:274-420): per-frame back-projection with pose and
+scale, and Open3D-style merge = concat → voxel downsample → statistical
+outlier removal. All stages consume/produce fixed-capacity PointSets on
+device; host compaction happens only at the PLY boundary.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from txr.core.types import PointSet
+from txr.ops.backproject import backproject_world
+from txr.ops.voxel import voxel_downsample
+from txr.ops.outlier import remove_statistical_outliers
+
+
+def depth_to_pointcloud(
+    depth: np.ndarray,
+    bgr: np.ndarray,
+    R: np.ndarray,
+    t: np.ndarray,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    scale: float = 1.0,
+    subsample: int = 2,
+    min_depth: float = 0.1,
+    max_depth: float = 50.0,
+) -> PointSet:
+    """Back-project one frame into a world-frame PointSet.
+
+    Mirrors DenseReconstructor.depth_to_pointcloud
+    (depth_to_reconstruction.py:328-384): depth * scale, subsampled grid,
+    validity range, camera→world via R^T (P - t). BGR→RGB happens in-trace.
+    """
+    rgb = jnp.asarray(bgr)[..., ::-1]
+    return backproject_world(
+        jnp.asarray(depth),
+        rgb,
+        jnp.asarray(R, dtype=jnp.float32),
+        jnp.asarray(t, dtype=jnp.float32).reshape(3),
+        fx, fy, cx, cy,
+        min_depth, max_depth, scale, subsample,
+    )
+
+
+def merge_pointclouds(
+    clouds: Sequence[Tuple[np.ndarray, np.ndarray]],
+    voxel_size: float = 0.005,
+    outlier_neighbors: int = 20,
+    outlier_std_ratio: float = 2.0,
+    remove_outliers: bool = True,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Concat → voxel downsample → statistical outlier removal.
+
+    Accepts host (xyz, rgb[0..1]) pairs, pads the concatenation to a shape
+    bucket (power-of-two capacity) so repeated merges reuse compiles, and
+    returns compacted host arrays — colors scaled to 0..255 like the
+    reference's merge output (depth_to_reconstruction.py:386-420).
+    """
+    xs = [np.asarray(x) for x, _ in clouds if len(x)]
+    cs = [np.asarray(c) for _, c in clouds if len(c)]
+    if not xs:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32)
+    xyz = np.concatenate(xs).astype(np.float32)
+    rgb = np.concatenate(cs).astype(np.float32)
+    if rgb.max() > 1.5:  # tolerate 0..255 inputs
+        rgb = rgb / 255.0
+
+    n = len(xyz)
+    cap = 1 << max(10, int(np.ceil(np.log2(max(n, 1)))))
+    ps = PointSet.from_numpy(xyz, rgb, capacity=cap)
+    ps = voxel_downsample(ps, voxel_size)
+    if remove_outliers:
+        ps = remove_statistical_outliers(ps, outlier_neighbors, outlier_std_ratio)
+    out_xyz, out_rgb = ps.to_numpy()
+    return out_xyz, out_rgb * 255.0

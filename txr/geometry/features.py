@@ -1,0 +1,158 @@
+"""Feature detection and matching for textureless scenes.
+
+Detection rides OpenCV's C++ kernels (the same native substrate the reference
+delegates to — SURVEY §1 L0): SIFT with CLAHE preprocessing for low-contrast
+frames (reference depth_to_reconstruction.py:133-153), and the hybrid
+SIFT+ORB+line+edge detector of depth_enhanced_reconstruction.py:178-406.
+Descriptor matching runs on-device as MXU matmuls (txr.ops.matching).
+
+Fixed-capacity contract: every detector returns exactly `capacity` rows with a
+validity mask so downstream jitted ops compile once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+
+    CV2_AVAILABLE = True
+except ImportError:  # pragma: no cover
+    CV2_AVAILABLE = False
+
+import jax.numpy as jnp
+
+from txr.ops.matching import match_l2_ratio, match_hamming_ratio, unpack_bits
+
+
+@dataclass
+class Features:
+    """Fixed-capacity keypoints + descriptors."""
+
+    uv: np.ndarray          # (N, 2) float32 pixel coords
+    desc: np.ndarray        # (N, D) float32 descriptors (SIFT) or packed uint8
+    mask: np.ndarray        # (N,) bool
+    kind: str = "sift"      # 'sift' | 'orb'
+
+    @property
+    def count(self) -> int:
+        return int(self.mask.sum())
+
+
+def _pad_features(uv, desc, capacity, kind):
+    n = min(len(uv), capacity)
+    d = desc.shape[1] if len(desc) else (128 if kind == "sift" else 32)
+    out_uv = np.zeros((capacity, 2), np.float32)
+    out_desc = np.zeros((capacity, d), desc.dtype if len(desc) else np.float32)
+    out_mask = np.zeros((capacity,), bool)
+    out_uv[:n] = uv[:n]
+    out_desc[:n] = desc[:n]
+    out_mask[:n] = True
+    return Features(out_uv, out_desc, out_mask, kind)
+
+
+class SIFTDetector:
+    """SIFT with optional CLAHE preprocessing.
+
+    Defaults follow the fusion pipeline's textureless-tuned settings
+    (reference depth_to_reconstruction.py:133-153): 8000 features,
+    contrastThreshold 0.01, edgeThreshold 15, CLAHE(2.0, 8x8).
+    """
+
+    def __init__(
+        self,
+        n_features: int = 8000,
+        contrast_threshold: float = 0.01,
+        edge_threshold: float = 15,
+        use_clahe: bool = True,
+        capacity: int = 8192,
+    ):
+        self.sift = cv2.SIFT_create(
+            nfeatures=n_features,
+            contrastThreshold=contrast_threshold,
+            edgeThreshold=edge_threshold,
+        )
+        self.clahe = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8)) if use_clahe else None
+        self.capacity = capacity
+
+    def detect(self, bgr: np.ndarray) -> Features:
+        gray = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY) if bgr.ndim == 3 else bgr
+        if self.clahe is not None:
+            gray = self.clahe.apply(gray)
+        kps, desc = self.sift.detectAndCompute(gray, None)
+        if desc is None or len(kps) == 0:
+            return _pad_features(np.zeros((0, 2), np.float32), np.zeros((0, 128), np.float32),
+                                 self.capacity, "sift")
+        uv = np.array([kp.pt for kp in kps], np.float32)
+        return _pad_features(uv, desc.astype(np.float32), self.capacity, "sift")
+
+
+class ORBDetector:
+    """ORB detector (reference depth_enhanced_reconstruction.py:197-199:
+    2000 features, 8 levels)."""
+
+    def __init__(self, n_features: int = 2000, n_levels: int = 8, capacity: int = 2048):
+        self.orb = cv2.ORB_create(nfeatures=n_features, nlevels=n_levels)
+        self.capacity = capacity
+
+    def detect(self, bgr: np.ndarray) -> Features:
+        gray = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY) if bgr.ndim == 3 else bgr
+        kps, desc = self.orb.detectAndCompute(gray, None)
+        if desc is None or len(kps) == 0:
+            return _pad_features(np.zeros((0, 2), np.float32), np.zeros((0, 32), np.uint8),
+                                 self.capacity, "orb")
+        uv = np.array([kp.pt for kp in kps], np.float32)
+        return _pad_features(uv, desc, self.capacity, "orb")
+
+
+def match_features(
+    f1: Features, f2: Features, ratio: float = 0.75
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Ratio-test match two feature sets on-device.
+
+    Returns (uv1 (N,2), uv2 (N,2), mask (N,)) fixed-capacity correspondence
+    arrays aligned to f1's capacity.
+    """
+    if f1.kind == "sift":
+        idx2, ok = match_l2_ratio(
+            jnp.asarray(f1.desc), jnp.asarray(f2.desc),
+            jnp.asarray(f1.mask), jnp.asarray(f2.mask), ratio,
+        )
+    else:
+        b1 = unpack_bits(jnp.asarray(f1.desc))
+        b2 = unpack_bits(jnp.asarray(f2.desc))
+        idx2, ok = match_hamming_ratio(
+            b1, b2, jnp.asarray(f1.mask), jnp.asarray(f2.mask), ratio,
+        )
+    idx2 = np.asarray(idx2)
+    ok = np.asarray(ok)
+    uv1 = f1.uv
+    uv2 = f2.uv[idx2]
+    return uv1, uv2, ok
+
+
+def dedupe_matches(uv1: np.ndarray, uv2: np.ndarray, mask: np.ndarray,
+                   px_threshold: float = 2.0) -> np.ndarray:
+    """Drop near-duplicate correspondences (reference O(n^2) loop at
+    depth_enhanced_reconstruction.py:388-406, vectorized): keep the first of
+    any pair whose endpoints both lie within px_threshold."""
+    valid_idx = np.where(mask)[0]
+    keep = mask.copy()
+    if len(valid_idx) == 0:
+        return keep
+    a = uv1[valid_idx]
+    b = uv2[valid_idx]
+    # Quantize to a grid of px_threshold cells; duplicates share a cell.
+    key = np.stack([
+        np.floor(a[:, 0] / px_threshold), np.floor(a[:, 1] / px_threshold),
+        np.floor(b[:, 0] / px_threshold), np.floor(b[:, 1] / px_threshold),
+    ], axis=1)
+    _, first = np.unique(key, axis=0, return_index=True)
+    dup = np.ones(len(valid_idx), bool)
+    dup[first] = False
+    keep[valid_idx[dup]] = False
+    return keep
