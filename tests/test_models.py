@@ -1,0 +1,242 @@
+"""Model tests: numeric parity with the HF torch implementation.
+
+The strongest available oracle without network access: instantiate HF
+`DepthAnythingForDepthEstimation` locally with random weights, convert its
+state dict through txr.models.convert, and compare full-forward outputs.
+This validates the ViT encoder, the DPT neck/head, every resize convention,
+and the converter in one shot.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from txr.models.vit import ViTConfig
+from txr.models.dpt import DPTConfig
+from txr.models.depth_anything import (
+    DepthAnythingFlax,
+    DepthAnythingModel,
+    MODEL_CONFIGS,
+    build_model,
+    hf_model_name,
+)
+from txr.models.convert import convert_state_dict
+from txr.ops.resize import resize_bilinear, resize_bicubic, compute_da_resize
+from txr.ops.attention import attention_xla
+
+
+torch = pytest.importorskip("torch")
+
+
+def make_hf_pair(metric=False, hidden=32, layers=4, heads=2, img=56,
+                 out_indices=(1, 2, 3, 4), neck=(8, 12, 16, 16), fusion=16,
+                 seed=0):
+    """Build matched (torch model, flax model, flax params)."""
+    from transformers import DepthAnythingConfig, DepthAnythingForDepthEstimation
+    from transformers.models.dinov2 import Dinov2Config
+
+    bc = Dinov2Config(
+        hidden_size=hidden, num_hidden_layers=layers, num_attention_heads=heads,
+        patch_size=14, image_size=img, layerscale_value=1.0,
+        out_indices=list(out_indices), apply_layernorm=True,
+        reshape_hidden_states=False,
+    )
+    cfg = DepthAnythingConfig(
+        backbone_config=bc, reassemble_hidden_size=hidden,
+        neck_hidden_sizes=list(neck), fusion_hidden_size=fusion,
+        head_hidden_size=8, patch_size=14,
+        depth_estimation_type="metric" if metric else "relative",
+        max_depth=5.0 if metric else 1,
+    )
+    torch.manual_seed(seed)
+    tm = DepthAnythingForDepthEstimation(cfg).eval()
+    # Randomize weights beyond the init (layer_scale lambdas default to 1.0 etc.)
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.add_(torch.randn_like(p) * 0.02)
+
+    vit = ViTConfig(
+        hidden_size=hidden, num_layers=layers, num_heads=heads, patch_size=14,
+        pos_embed_size=img // 14, out_layers=tuple(i - 1 for i in out_indices),
+        use_flash=False,
+    )
+    dpt = DPTConfig(features=fusion, out_channels=tuple(neck), head_hidden=8,
+                    metric=metric, max_depth=5.0)
+    fm = DepthAnythingFlax(vit=vit, dpt=dpt)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = convert_state_dict(sd, num_layers=layers)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    return tm, fm, params
+
+
+class TestResizeParity:
+    @pytest.mark.parametrize("align", [True, False])
+    def test_bilinear_matches_torch(self, rng, align):
+        x = rng.normal(size=(2, 7, 9, 3)).astype(np.float32)
+        got = np.asarray(resize_bilinear(jnp.asarray(x), 13, 20, align_corners=align))
+        t = torch.nn.functional.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2), size=(13, 20),
+            mode="bilinear", align_corners=align).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, t, rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("align", [True, False])
+    def test_bicubic_matches_torch(self, rng, align):
+        x = rng.normal(size=(1, 8, 8, 2)).astype(np.float32)
+        got = np.asarray(resize_bicubic(jnp.asarray(x), 19, 11, align_corners=align))
+        t = torch.nn.functional.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2), size=(19, 11),
+            mode="bicubic", align_corners=align).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, t, rtol=1e-4, atol=1e-4)
+
+    def test_da_resize_shapes(self):
+        # 640x480 at target 518 lower-bound → short side ≥ 518, multiples of 14.
+        h, w = compute_da_resize(480, 640, 518)
+        assert h % 14 == 0 and w % 14 == 0
+        assert min(h, w) >= 518
+        assert abs(w / h - 640 / 480) < 0.05
+
+
+class TestHFParity:
+    @pytest.mark.parametrize("metric", [False, True])
+    def test_full_forward_matches_hf(self, rng, metric):
+        tm, fm, params = make_hf_pair(metric=metric)
+        x = rng.normal(size=(1, 56, 56, 3)).astype(np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x).permute(0, 3, 1, 2)).predicted_depth.numpy()
+        got = np.asarray(fm.apply({"params": params}, jnp.asarray(x)))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+    def test_pos_embed_interpolation_matches_hf(self, rng):
+        # Run at a different resolution than the stored pos-embed grid.
+        tm, fm, params = make_hf_pair()
+        x = rng.normal(size=(1, 84, 70, 3)).astype(np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x).permute(0, 3, 1, 2)).predicted_depth.numpy()
+        got = np.asarray(fm.apply({"params": params}, jnp.asarray(x)))
+        np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+    def test_original_da_naming_roundtrip(self):
+        """Original-repo names (pretrained.*/depth_head.*) convert to the same
+        params as the HF names."""
+        tm, fm, params_hf = make_hf_pair()
+        sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+
+        def to_original(k):
+            k = (k.replace("backbone.embeddings.cls_token", "pretrained.cls_token")
+                  .replace("backbone.embeddings.position_embeddings", "pretrained.pos_embed")
+                  .replace("backbone.embeddings.patch_embeddings.projection.", "pretrained.patch_embed.proj.")
+                  .replace("backbone.layernorm.", "pretrained.norm."))
+            if k.startswith("backbone.encoder.layer."):
+                rest = k[len("backbone.encoder.layer."):]
+                i, sub = rest.split(".", 1)
+                sub = (sub.replace("attention.output.dense.", "attn.proj.")
+                          .replace("layer_scale1.lambda1", "ls1.gamma")
+                          .replace("layer_scale2.lambda1", "ls2.gamma"))
+                k = f"pretrained.blocks.{i}.{sub}"
+            if k.startswith("neck.reassemble_stage.layers."):
+                rest = k[len("neck.reassemble_stage.layers."):]
+                i, sub = rest.split(".", 1)
+                sub = sub.replace("projection.", "")
+                if sub.startswith("resize."):
+                    k = f"depth_head.resize_layers.{i}.{sub[len('resize.'):]}"
+                else:
+                    k = f"depth_head.projects.{i}.{sub}"
+            if k.startswith("neck.convs."):
+                i = int(k.split(".")[2])
+                k = f"depth_head.scratch.layer{i + 1}_rn.weight"
+            if k.startswith("neck.fusion_stage.layers."):
+                rest = k[len("neck.fusion_stage.layers."):]
+                j, sub = rest.split(".", 1)
+                sub = (sub.replace("residual_layer1.", "resConfUnit1.")
+                          .replace("residual_layer2.", "resConfUnit2.")
+                          .replace("convolution1.", "conv1.")
+                          .replace("convolution2.", "conv2.")
+                          .replace("projection.", "out_conv."))
+                k = f"depth_head.scratch.refinenet{4 - int(j)}.{sub}"
+            if k.startswith("head.conv1."):
+                k = k.replace("head.conv1.", "depth_head.scratch.output_conv1.")
+            if k.startswith("head.conv2."):
+                k = k.replace("head.conv2.", "depth_head.scratch.output_conv2.0.")
+            if k.startswith("head.conv3."):
+                k = k.replace("head.conv3.", "depth_head.scratch.output_conv2.2.")
+            return k
+
+        # Fuse q/k/v like the original repo stores them.
+        orig = {}
+        layers = 4
+        for i in range(layers):
+            b = f"backbone.encoder.layer.{i}.attention.attention."
+            qkv_w = np.concatenate([sd[b + f"{n}.weight"] for n in ("query", "key", "value")], axis=0)
+            qkv_b = np.concatenate([sd[b + f"{n}.bias"] for n in ("query", "key", "value")])
+            orig[f"pretrained.blocks.{i}.attn.qkv.weight"] = qkv_w
+            orig[f"pretrained.blocks.{i}.attn.qkv.bias"] = qkv_b
+        for k, v in sd.items():
+            if ".attention.attention." in k:
+                continue
+            orig[to_original(k)] = v
+
+        params_orig = convert_state_dict(orig, num_layers=layers)
+        flat_hf = jax.tree_util.tree_leaves_with_path(params_hf)
+        flat_o = dict(jax.tree_util.tree_leaves_with_path(
+            jax.tree_util.tree_map(jnp.asarray, params_orig)))
+        for path, leaf in flat_hf:
+            np.testing.assert_allclose(np.asarray(flat_o[path]), np.asarray(leaf),
+                                       err_msg=str(path))
+
+
+class TestRegistry:
+    def test_registry_mirrors_reference(self):
+        assert set(MODEL_CONFIGS) == {"v1", "v2", "v3"}
+        assert set(MODEL_CONFIGS["v2"]) == {"vits", "vitb", "vitl", "vitg"}
+        assert MODEL_CONFIGS["v2"]["vitg"]["features"] == 384
+        assert MODEL_CONFIGS["v3"]["large"]["out_channels"] == [256, 512, 1024, 1024]
+
+    def test_hf_names(self):
+        assert hf_model_name("v2", "vitl") == "depth-anything/Depth-Anything-V2-Large-hf"
+        assert hf_model_name("v2", "vitb", metric=True, dataset="vkitti") == \
+            "depth-anything/Depth-Anything-V2-Metric-VKITTI-Base-hf"
+        assert hf_model_name("v1", "vits") == "LiheYoung/depth-anything-small-hf"
+
+    def test_invalid_combo_raises(self):
+        with pytest.raises(ValueError):
+            build_model("v1", "vitg")
+
+
+class TestInferenceWrapper:
+    def test_infer_shapes_and_v3_scaling(self):
+        from txr.core.intrinsics import CameraIntrinsics
+        m = DepthAnythingModel(version="v3", encoder="large", input_size=70,
+                               param_dtype=jnp.float32, use_flash=False, seed=0)
+        # Shrink the model for test speed: rebuild tiny.
+        m.model, m.vit_cfg, m.dpt_cfg = None, None, None
+        tiny_vit = ViTConfig(hidden_size=32, num_layers=2, num_heads=2,
+                             pos_embed_size=5, out_layers=(0, 0, 1, 1), use_flash=False)
+        tiny_dpt = DPTConfig(features=16, out_channels=(8, 8, 16, 16), head_hidden=8)
+        m.model = DepthAnythingFlax(vit=tiny_vit, dpt=tiny_dpt)
+        m.params = m.model.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 70, 70, 3)))["params"]
+        m._jitted = {}
+
+        img = np.random.default_rng(0).integers(0, 255, (60, 80, 3), dtype=np.uint8)
+        d_plain = m.infer(img)
+        assert d_plain.shape == (60, 80) and d_plain.dtype == np.float32
+        intr = CameraIntrinsics(fx=600.0, fy=600.0, cx=40, cy=30)
+        d_scaled = m.infer(img, intr)
+        np.testing.assert_allclose(d_scaled, d_plain * (600.0 / 300.0), rtol=1e-6)
+
+    def test_infer_batch(self):
+        tiny_vit = ViTConfig(hidden_size=32, num_layers=2, num_heads=2,
+                             pos_embed_size=5, out_layers=(0, 0, 1, 1), use_flash=False)
+        tiny_dpt = DPTConfig(features=16, out_channels=(8, 8, 16, 16), head_hidden=8)
+        m = DepthAnythingModel.__new__(DepthAnythingModel)
+        m.version, m.encoder, m.metric = "v2", "vits", False
+        m.input_size, m.focal_length_ref = 70, 300.0
+        m.model = DepthAnythingFlax(vit=tiny_vit, dpt=tiny_dpt)
+        m.params = m.model.init(jax.random.PRNGKey(0), jnp.zeros((1, 70, 70, 3)))["params"]
+        m._jitted = {}
+        imgs = np.random.default_rng(1).integers(0, 255, (3, 60, 80, 3), dtype=np.uint8)
+        d = m.infer_batch(imgs)
+        assert d.shape == (3, 60, 80)
+        d0 = m.infer(imgs[0]) if hasattr(m, 'dataset') else None  # skip single-path compare

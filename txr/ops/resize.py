@@ -1,0 +1,142 @@
+"""Image resize ops with PyTorch-compatible sampling semantics.
+
+The DPT head and pos-embed interpolation in Depth Anything use
+torch.nn.functional.interpolate with specific align_corners settings, which
+jax.image.resize cannot express (it is fixed to half-pixel centers /
+align_corners=False-with-antialias-off differences). For checkpoint parity we
+implement gather-based bilinear and bicubic resize with both conventions.
+All ops are jit-friendly (static output sizes) and batched over leading dims.
+
+Layout: NHWC (TPU-native).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _source_coords(out_size: int, in_size: int, align_corners: bool) -> jnp.ndarray:
+    i = jnp.arange(out_size, dtype=jnp.float32)
+    if align_corners:
+        if out_size == 1:
+            return jnp.zeros((1,), jnp.float32)
+        scale = (in_size - 1) / max(out_size - 1, 1)
+        return i * scale
+    scale = in_size / out_size
+    # Note: no clipping — torch keeps negative source coords and clamps the
+    # tap indices instead, which changes boundary weights.
+    return (i + 0.5) * scale - 0.5
+
+
+def _gather_axis(x: jnp.ndarray, idx: jnp.ndarray, axis: int) -> jnp.ndarray:
+    return jnp.take(x, idx, axis=axis)
+
+
+def _linear_1d(x: jnp.ndarray, out_size: int, axis: int, align_corners: bool) -> jnp.ndarray:
+    in_size = x.shape[axis]
+    src = _source_coords(out_size, in_size, align_corners)
+    base = jnp.floor(src)
+    w = src - base  # fractional weight from the unclamped floor
+    lo = jnp.clip(base.astype(jnp.int32), 0, in_size - 1)
+    hi = jnp.clip(base.astype(jnp.int32) + 1, 0, in_size - 1)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    w = w.reshape(shape)
+    a = _gather_axis(x, lo, axis)
+    b = _gather_axis(x, hi, axis)
+    return a * (1.0 - w) + b * w
+
+
+def _cubic_kernel(t: jnp.ndarray, a: float = -0.75) -> jnp.ndarray:
+    """Cubic convolution weights for the 4 taps around fractional offset t.
+
+    Matches torch/OpenCV bicubic (Keys kernel, a=-0.75). t in [0,1);
+    returns weights (..., 4) for taps at offsets (-1, 0, 1, 2).
+    """
+    d = jnp.stack([t + 1.0, t, 1.0 - t, 2.0 - t], axis=-1)
+    absd = jnp.abs(d)
+    w_near = (a + 2.0) * absd ** 3 - (a + 3.0) * absd ** 2 + 1.0
+    w_far = a * absd ** 3 - 5.0 * a * absd ** 2 + 8.0 * a * absd - 4.0 * a
+    return jnp.where(absd <= 1.0, w_near, jnp.where(absd < 2.0, w_far, 0.0))
+
+
+def _cubic_1d(x: jnp.ndarray, out_size: int, axis: int, align_corners: bool) -> jnp.ndarray:
+    in_size = x.shape[axis]
+    src = _source_coords(out_size, in_size, align_corners)
+    base = jnp.floor(src).astype(jnp.int32)
+    t = src - base.astype(jnp.float32)
+    weights = _cubic_kernel(t)  # (out, 4)
+    out = None
+    for tap in range(4):
+        idx = jnp.clip(base + tap - 1, 0, in_size - 1)
+        g = _gather_axis(x, idx, axis)
+        shape = [1] * x.ndim
+        shape[axis] = out_size
+        w = weights[:, tap].reshape(shape)
+        out = g * w if out is None else out + g * w
+    return out
+
+
+@partial(jax.jit, static_argnames=("height", "width", "align_corners"))
+def resize_bilinear(x: jnp.ndarray, height: int, width: int,
+                    align_corners: bool = False) -> jnp.ndarray:
+    """Bilinear resize of (..., H, W, C) to (..., height, width, C)."""
+    h_axis, w_axis = x.ndim - 3, x.ndim - 2
+    y = _linear_1d(x.astype(jnp.float32), height, h_axis, align_corners)
+    return _linear_1d(y, width, w_axis, align_corners)
+
+
+@partial(jax.jit, static_argnames=("height", "width", "align_corners"))
+def resize_bicubic(x: jnp.ndarray, height: int, width: int,
+                   align_corners: bool = False) -> jnp.ndarray:
+    """Bicubic (Keys a=-0.75) resize of (..., H, W, C)."""
+    h_axis, w_axis = x.ndim - 3, x.ndim - 2
+    y = _cubic_1d(x.astype(jnp.float32), height, h_axis, align_corners)
+    return _cubic_1d(y, width, w_axis, align_corners)
+
+
+# ImageNet statistics used by every Depth Anything preprocessing pipeline.
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def constrain_to_multiple_of(val: float, multiple: int, min_val: int = 0) -> int:
+    """Round to the nearest multiple (DA Resize.constrain_to_multiple_of)."""
+    out = int(round(val / multiple) * multiple)
+    if out < min_val:
+        out = int(-(-val // multiple) * multiple)  # ceil
+    return max(out, multiple)
+
+
+def compute_da_resize(h: int, w: int, target: int = 518, multiple: int = 14,
+                      lower_bound: bool = True) -> tuple:
+    """Depth-Anything 'lower_bound' aspect-preserving resize shape.
+
+    The short side scales to `target`, both sides round to a multiple of 14
+    (reference model.infer_image input path; depth_processor.py:303)."""
+    scale_h = target / h
+    scale_w = target / w
+    if lower_bound:
+        s = max(scale_h, scale_w)
+    else:
+        s = min(scale_h, scale_w)
+    return (constrain_to_multiple_of(s * h, multiple, min_val=target),
+            constrain_to_multiple_of(s * w, multiple, min_val=target))
+
+
+@partial(jax.jit, static_argnames=("height", "width"))
+def preprocess_image(rgb: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """uint8 RGB (H, W, 3) → normalized float32 (1, height, width, 3).
+
+    /255, bicubic resize (half-pixel, matching cv2.resize INTER_CUBIC used by
+    DA's transform), ImageNet normalize.
+    """
+    x = rgb.astype(jnp.float32) / 255.0
+    x = resize_bicubic(x, height, width, align_corners=False)
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    x = (x - mean) / std
+    return x[None]
