@@ -1,0 +1,131 @@
+#!/usr/bin/env python3
+"""End-to-end benchmark: depth → fused point cloud at 1080p on one chip.
+
+Measures the BASELINE.json north-star metric: frames/sec through the full
+TPU-resident pipeline
+    uint8 1080p frame → bicubic resize+normalize → Depth Anything forward
+    (Flax ViT + DPT, Pallas flash attention) → bilinear upsample to 1080p
+    → back-projection (stride 2 ≈ 518k points/frame) → streaming voxel-map
+    fusion in HBM.
+
+Prints ONE JSON line to stdout:
+    {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+vs_baseline is against the 30 FPS north-star target (the reference publishes
+no numbers — BASELINE.md).
+
+Env knobs: TXR_BENCH_ENCODER (default vitl), TXR_BENCH_BATCH (default 8),
+TXR_BENCH_BATCHES (default 12).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       ".jax_cache"))
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+    import jax
+    import jax.numpy as jnp
+
+    from txr.models.depth_anything import build_model
+    from txr.ops.resize import (IMAGENET_MEAN, IMAGENET_STD, compute_da_resize,
+                                resize_bicubic, resize_bilinear)
+    from txr.ops.backproject import backproject_world
+    from txr.fusion.voxel_map import (create_voxel_map, voxel_map_insert,
+                                      voxel_map_size)
+
+    encoder = os.environ.get("TXR_BENCH_ENCODER", "vitl")
+    batch = int(os.environ.get("TXR_BENCH_BATCH", "8"))
+    n_batches = int(os.environ.get("TXR_BENCH_BATCHES", "12"))
+    H, W = 1080, 1920
+    in_h, in_w = compute_da_resize(H, W, 518)
+
+    log(f"bench: encoder={encoder} batch={batch} batches={n_batches} "
+        f"input {W}x{H} -> model {in_w}x{in_h} on {jax.devices()[0]}")
+
+    model, vit_cfg, dpt_cfg = build_model("v2", encoder)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 14 * 4, 14 * 4, 3), jnp.float32))["params"]
+    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+
+    # Camera model for back-projection (default-intrinsics heuristic).
+    fx = fy = 0.8 * W
+    cx, cy = W / 2.0, H / 2.0
+
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    eye = jnp.eye(3, dtype=jnp.float32)
+    zero_t = jnp.zeros(3, jnp.float32)
+
+    @jax.jit
+    def depth_and_points(params, frames_u8):
+        x = frames_u8.astype(jnp.float32) / 255.0
+        xm = resize_bicubic(x, in_h, in_w, align_corners=False)
+        xm = ((xm - mean) / std).astype(jnp.bfloat16)
+        depth = model.apply({"params": params}, xm).astype(jnp.float32)
+        depth_full = resize_bilinear(depth[..., None], H, W,
+                                     align_corners=True)[..., 0]
+
+        def one(depth_i, rgb_i):
+            return backproject_world(depth_i, rgb_i, eye, zero_t,
+                                     fx, fy, cx, cy, 1e-4, 1e6, 1.0, 2)
+
+        ps = jax.vmap(one)(depth_full, frames_u8)
+        # Flatten the batch into one point stream for fusion.
+        n = ps.xyz.shape[0] * ps.xyz.shape[1]
+        from txr.core.types import PointSet
+        return PointSet(ps.xyz.reshape(n, 3), ps.rgb.reshape(n, 3),
+                        ps.mask.reshape(n))
+
+    # Pre-stage input batches on device (decode/H2D overlaps compute in the
+    # deployed pipeline; the tunnel's ~150 MB/s relay would otherwise be the
+    # artifact being measured).
+    rng = np.random.default_rng(0)
+    host_frames = [rng.integers(0, 255, (batch, H, W, 3), dtype=np.uint8)
+                   for _ in range(2)]
+    dev_frames = [jax.device_put(f) for f in host_frames]
+
+    vmap_state = create_voxel_map(1 << 21, 0.01)
+
+    # Warm-up / compile.
+    t0 = time.time()
+    ps = depth_and_points(params, dev_frames[0])
+    vmap_state = voxel_map_insert(vmap_state, ps)
+    _ = int(voxel_map_size(vmap_state))
+    log(f"compile+warmup: {time.time() - t0:.1f}s")
+
+    # Timed loop (device-resident; one sync at the end).
+    t0 = time.perf_counter()
+    for i in range(n_batches):
+        ps = depth_and_points(params, dev_frames[i % 2])
+        vmap_state = voxel_map_insert(vmap_state, ps)
+    n_voxels = int(voxel_map_size(vmap_state))  # forces full sync
+    dt = time.perf_counter() - t0
+
+    frames = batch * n_batches
+    fps = frames / dt
+    ms_per_frame = dt / frames * 1000.0
+    log(f"{frames} frames in {dt:.2f}s -> {fps:.2f} fps "
+        f"({ms_per_frame:.1f} ms/frame), fused map {n_voxels} voxels")
+
+    print(json.dumps({
+        "metric": f"e2e_1080p_depth_to_fused_pointcloud_fps_{encoder}",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / 30.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

