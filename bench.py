@@ -42,8 +42,8 @@ def main():
     from txr.ops.resize import (IMAGENET_MEAN, IMAGENET_STD, compute_da_resize,
                                 resize_bicubic, resize_bilinear)
     from txr.ops.backproject import backproject_world
-    from txr.fusion.voxel_map import (create_voxel_map, voxel_map_insert,
-                                      voxel_map_size)
+    from txr.fusion.sorted_map import (create_sorted_map, sorted_map_insert,
+                                       sorted_map_size)
 
     encoder = os.environ.get("TXR_BENCH_ENCODER", "vitl")
     batch = int(os.environ.get("TXR_BENCH_BATCH", "8"))
@@ -96,21 +96,21 @@ def main():
                    for _ in range(2)]
     dev_frames = [jax.device_put(f) for f in host_frames]
 
-    vmap_state = create_voxel_map(1 << 21, 0.01)
+    vmap_state = create_sorted_map(1 << 21, 0.01)
 
     # Warm-up / compile.
     t0 = time.time()
     ps = depth_and_points(params, dev_frames[0])
-    vmap_state = voxel_map_insert(vmap_state, ps)
-    _ = int(voxel_map_size(vmap_state))
+    vmap_state = sorted_map_insert(vmap_state, ps)
+    _ = int(sorted_map_size(vmap_state))
     log(f"compile+warmup: {time.time() - t0:.1f}s")
 
     # Timed loop (device-resident; one sync at the end).
     t0 = time.perf_counter()
     for i in range(n_batches):
         ps = depth_and_points(params, dev_frames[i % 2])
-        vmap_state = voxel_map_insert(vmap_state, ps)
-    n_voxels = int(voxel_map_size(vmap_state))  # forces full sync
+        vmap_state = sorted_map_insert(vmap_state, ps)
+    n_voxels = int(sorted_map_size(vmap_state))  # forces full sync
     dt = time.perf_counter() - t0
 
     frames = batch * n_batches

@@ -21,8 +21,10 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped: every test sees the same deterministic stream, so no
+    # test's data depends on which tests ran before it.
     return np.random.default_rng(0)
 
 

@@ -169,14 +169,14 @@ class TestStreamingReconstructor:
         from txr.core.config import StreamingConfig
         from txr.core.intrinsics import CameraIntrinsics
         from txr.pipelines.streaming import StreamingReconstructor
-        from txr.fusion.voxel_map import voxel_map_insert
+        from txr.fusion.sorted_map import sorted_map_insert
         from txr.io.ply import read_ply
 
         rec = StreamingReconstructor(
             CameraIntrinsics.default(), depth_model=object(),
             config=StreamingConfig(max_map_points=1 << 12), verbose=False)
         xyz = rng.normal(size=(50, 3)).astype(np.float32)
-        rec.map = voxel_map_insert(rec.map, PointSet.from_numpy(xyz))
+        rec.map = sorted_map_insert(rec.map, PointSet.from_numpy(xyz))
         out = str(tmp_path / "scene.ply")
         n = rec.save(out)
         rx, _ = read_ply(out)

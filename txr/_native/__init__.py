@@ -1,0 +1,123 @@
+"""Native host runtime: build-on-first-use C++ helpers loaded via ctypes.
+
+The compiled library is cached next to the source; when no compiler is
+available the callers fall back to pure-numpy implementations.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "txr_native.cpp")
+_LIB = os.path.join(_DIR, "libtxr_native.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           "-o", _LIB, _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError,
+            subprocess.TimeoutExpired):
+        return False
+
+
+def get_lib():
+    """The loaded native library, building it on first use; None if
+    unavailable (no compiler)."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB) or (
+                os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            return None
+        lib.txr_write_ply.restype = ctypes.c_int
+        lib.txr_write_ply.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        lib.txr_pack_xyzrgb.restype = ctypes.c_int
+        lib.txr_pack_xyzrgb.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        lib.txr_compact_points.restype = ctypes.c_int64
+        lib.txr_compact_points.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def native_write_ply(path: str, xyz: np.ndarray, rgb: np.ndarray | None) -> bool:
+    """Write float32-xyz (+uchar rgb) binary PLY natively. Returns False when
+    the native library is unavailable (caller falls back)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    xyz = np.ascontiguousarray(xyz, dtype=np.float32)
+    rgb_ptr = None
+    if rgb is not None:
+        rgb = np.ascontiguousarray(rgb, dtype=np.float32)
+        if rgb.size and rgb.max() > 1.5:  # tolerate 0..255 input
+            rgb = rgb / 255.0
+        rgb_ptr = rgb.ctypes.data_as(ctypes.c_void_p)
+    rc = lib.txr_write_ply(
+        path.encode(), xyz.ctypes.data_as(ctypes.c_void_p), rgb_ptr,
+        xyz.shape[0])
+    return rc == 0
+
+
+def native_pack_xyzrgb(xyz: np.ndarray, rgb: np.ndarray | None) -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    xyz = np.ascontiguousarray(xyz, dtype=np.float32)
+    n = xyz.shape[0]
+    rec = 16 if rgb is not None else 12
+    out = np.empty(n * rec, np.uint8)
+    rgb_ptr = None
+    if rgb is not None:
+        rgb = np.ascontiguousarray(rgb, dtype=np.float32)
+        rgb_ptr = rgb.ctypes.data_as(ctypes.c_void_p)
+    lib.txr_pack_xyzrgb(xyz.ctypes.data_as(ctypes.c_void_p), rgb_ptr, n,
+                        out.ctypes.data_as(ctypes.c_void_p))
+    return out.tobytes()
+
+
+def native_compact(xyz: np.ndarray, rgb: np.ndarray | None,
+                   mask: np.ndarray):
+    """Masked compaction → (dense_xyz, dense_rgb|None), or None when the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    xyz = np.ascontiguousarray(xyz, dtype=np.float32)
+    mask = np.ascontiguousarray(mask, dtype=np.uint8)
+    n = xyz.shape[0]
+    out_xyz = np.empty_like(xyz)
+    out_rgb = None
+    rgb_ptr = out_rgb_ptr = None
+    if rgb is not None:
+        rgb = np.ascontiguousarray(rgb, dtype=np.float32)
+        out_rgb = np.empty_like(rgb)
+        rgb_ptr = rgb.ctypes.data_as(ctypes.c_void_p)
+        out_rgb_ptr = out_rgb.ctypes.data_as(ctypes.c_void_p)
+    m = lib.txr_compact_points(
+        xyz.ctypes.data_as(ctypes.c_void_p), rgb_ptr,
+        mask.ctypes.data_as(ctypes.c_void_p), n,
+        out_xyz.ctypes.data_as(ctypes.c_void_p), out_rgb_ptr)
+    return (out_xyz[:m], out_rgb[:m] if out_rgb is not None else None)

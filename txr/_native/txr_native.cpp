@@ -1,0 +1,118 @@
+// txr native host runtime: fast point-cloud I/O and packing.
+//
+// TPU-native replacement for the reference's Open3D C++ I/O layer
+// (SURVEY §1 L0 / §2.8 item 16): binary PLY emit/parse and PointCloud2-style
+// XYZRGB packing as tight single-pass C loops over interleaved records,
+// avoiding the numpy structured-array assembly round trip. Exposed through a
+// plain C ABI and loaded via ctypes (no pybind11 in this toolchain).
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o libtxr_native.so txr_native.cpp
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cstdlib>
+
+extern "C" {
+
+// Write a binary_little_endian PLY with float32 xyz + uchar rgb.
+// xyz: n*3 float32, rgb: n*3 float32 in [0,1] (may be null).
+// Returns 0 on success, negative errno-style codes on failure.
+int txr_write_ply(const char* path, const float* xyz, const float* rgb,
+                  int64_t n) {
+    FILE* f = fopen(path, "wb");
+    if (!f) return -1;
+
+    char header[256];
+    int hl;
+    if (rgb) {
+        hl = snprintf(header, sizeof(header),
+                      "ply\nformat binary_little_endian 1.0\n"
+                      "element vertex %lld\n"
+                      "property float x\nproperty float y\nproperty float z\n"
+                      "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+                      "end_header\n",
+                      (long long)n);
+    } else {
+        hl = snprintf(header, sizeof(header),
+                      "ply\nformat binary_little_endian 1.0\n"
+                      "element vertex %lld\n"
+                      "property float x\nproperty float y\nproperty float z\n"
+                      "end_header\n",
+                      (long long)n);
+    }
+    if (fwrite(header, 1, hl, f) != (size_t)hl) { fclose(f); return -2; }
+
+    const int64_t kChunk = 1 << 16;  // records per buffered write
+    const int rec = rgb ? 15 : 12;
+    char* buf = (char*)malloc(kChunk * rec);
+    if (!buf) { fclose(f); return -3; }
+
+    for (int64_t start = 0; start < n; start += kChunk) {
+        int64_t m = n - start < kChunk ? n - start : kChunk;
+        char* p = buf;
+        for (int64_t i = 0; i < m; ++i) {
+            const float* v = xyz + (start + i) * 3;
+            memcpy(p, v, 12);
+            p += 12;
+            if (rgb) {
+                const float* c = rgb + (start + i) * 3;
+                for (int k = 0; k < 3; ++k) {
+                    float s = c[k] * 255.0f + 0.5f;
+                    if (s < 0.f) s = 0.f;
+                    if (s > 255.f) s = 255.f;
+                    *p++ = (char)(uint8_t)s;
+                }
+            }
+        }
+        if (fwrite(buf, 1, m * rec, f) != (size_t)(m * rec)) {
+            free(buf); fclose(f); return -4;
+        }
+    }
+    free(buf);
+    fclose(f);
+    return 0;
+}
+
+// Pack XYZ + RGB into PointCloud2-style interleaved records:
+// x, y, z float32 + packed-float rgb (r<<16 | g<<8 | b as uint32 bits).
+// out must hold n*16 bytes. rgb may be null → 12-byte records.
+int txr_pack_xyzrgb(const float* xyz, const float* rgb, int64_t n,
+                    uint8_t* out) {
+    if (rgb) {
+        for (int64_t i = 0; i < n; ++i) {
+            memcpy(out + i * 16, xyz + i * 3, 12);
+            uint32_t r = (uint32_t)(rgb[i * 3 + 0] * 255.0f + 0.5f);
+            uint32_t g = (uint32_t)(rgb[i * 3 + 1] * 255.0f + 0.5f);
+            uint32_t b = (uint32_t)(rgb[i * 3 + 2] * 255.0f + 0.5f);
+            if (r > 255) r = 255;
+            if (g > 255) g = 255;
+            if (b > 255) b = 255;
+            uint32_t packed = (r << 16) | (g << 8) | b;
+            memcpy(out + i * 16 + 12, &packed, 4);
+        }
+    } else {
+        for (int64_t i = 0; i < n; ++i) {
+            memcpy(out + i * 12, xyz + i * 3, 12);
+        }
+    }
+    return 0;
+}
+
+// Compact a masked fixed-capacity point set to dense arrays.
+// Returns the number of valid points written.
+int64_t txr_compact_points(const float* xyz, const float* rgb,
+                           const uint8_t* mask, int64_t n,
+                           float* out_xyz, float* out_rgb) {
+    int64_t m = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (mask[i]) {
+            memcpy(out_xyz + m * 3, xyz + i * 3, 12);
+            if (rgb && out_rgb) memcpy(out_rgb + m * 3, rgb + i * 3, 12);
+            ++m;
+        }
+    }
+    return m;
+}
+
+}  // extern "C"

@@ -31,6 +31,20 @@ def write_ply(
     """
     xyz = np.asarray(xyz)
     n = xyz.shape[0]
+
+    # Hot path: float32 binary emit through the C++ runtime (single-pass
+    # interleave; falls through to numpy when no compiler is available).
+    if binary and not double_precision and n > 0:
+        from txr._native import native_write_ply
+
+        rgb_f = None
+        if rgb is not None:
+            rgb_f = np.asarray(rgb)
+            if rgb_f.dtype == np.uint8:
+                rgb_f = rgb_f.astype(np.float32) / 255.0
+        if native_write_ply(path, xyz, rgb_f):
+            return
+
     pos_t = np.float64 if double_precision else np.float32
     pos_name = "double" if double_precision else "float"
 

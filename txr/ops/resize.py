@@ -80,13 +80,58 @@ def _cubic_1d(x: jnp.ndarray, out_size: int, axis: int, align_corners: bool) -> 
     return out
 
 
+def _linear_matrix(out_size: int, in_size: int, align_corners: bool) -> jnp.ndarray:
+    """(out, in) dense interpolation matrix for 1-D linear resize."""
+    src = _source_coords(out_size, in_size, align_corners)
+    base = jnp.floor(src)
+    w = src - base
+    lo = jnp.clip(base.astype(jnp.int32), 0, in_size - 1)
+    hi = jnp.clip(base.astype(jnp.int32) + 1, 0, in_size - 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (out_size, in_size), 1)
+    M = jnp.zeros((out_size, in_size), jnp.float32)
+    M = M + jnp.where(cols == lo[:, None], (1.0 - w)[:, None], 0.0)
+    M = M + jnp.where(cols == hi[:, None], w[:, None], 0.0)
+    return M
+
+
+def _cubic_matrix(out_size: int, in_size: int, align_corners: bool) -> jnp.ndarray:
+    """(out, in) dense interpolation matrix for 1-D Keys bicubic resize."""
+    src = _source_coords(out_size, in_size, align_corners)
+    base = jnp.floor(src).astype(jnp.int32)
+    t = src - base.astype(jnp.float32)
+    weights = _cubic_kernel(t)  # (out, 4)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (out_size, in_size), 1)
+    M = jnp.zeros((out_size, in_size), jnp.float32)
+    for tap in range(4):
+        idx = jnp.clip(base + tap - 1, 0, in_size - 1)
+        M = M + jnp.where(cols == idx[:, None], weights[:, tap][:, None], 0.0)
+    return M
+
+
+def _apply_axis_matrix(x: jnp.ndarray, M: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Contract x's `axis` with M (out, in) — interpolation as an MXU matmul.
+
+    TPU gather runs at a fraction of HBM bandwidth while dense matmul rides
+    the MXU, so expressing resize as a (sparse-in-structure, dense-in-layout)
+    matrix product is the fast path for large activations.
+    """
+    moved = jnp.moveaxis(x, axis, -1)
+    out = jnp.einsum("...i,oi->...o", moved, M,
+                     preferred_element_type=jnp.float32)
+    return jnp.moveaxis(out, -1, axis)
+
+
 @partial(jax.jit, static_argnames=("height", "width", "align_corners"))
 def resize_bilinear(x: jnp.ndarray, height: int, width: int,
                     align_corners: bool = False) -> jnp.ndarray:
     """Bilinear resize of (..., H, W, C) to (..., height, width, C)."""
     h_axis, w_axis = x.ndim - 3, x.ndim - 2
-    y = _linear_1d(x.astype(jnp.float32), height, h_axis, align_corners)
-    return _linear_1d(y, width, w_axis, align_corners)
+    dt = x.dtype
+    Mh = _linear_matrix(height, x.shape[h_axis], align_corners)
+    Mw = _linear_matrix(width, x.shape[w_axis], align_corners)
+    y = _apply_axis_matrix(x.astype(jnp.float32), Mh, h_axis)
+    y = _apply_axis_matrix(y, Mw, w_axis)
+    return y
 
 
 @partial(jax.jit, static_argnames=("height", "width", "align_corners"))
@@ -94,8 +139,11 @@ def resize_bicubic(x: jnp.ndarray, height: int, width: int,
                    align_corners: bool = False) -> jnp.ndarray:
     """Bicubic (Keys a=-0.75) resize of (..., H, W, C)."""
     h_axis, w_axis = x.ndim - 3, x.ndim - 2
-    y = _cubic_1d(x.astype(jnp.float32), height, h_axis, align_corners)
-    return _cubic_1d(y, width, w_axis, align_corners)
+    Mh = _cubic_matrix(height, x.shape[h_axis], align_corners)
+    Mw = _cubic_matrix(width, x.shape[w_axis], align_corners)
+    y = _apply_axis_matrix(x.astype(jnp.float32), Mh, h_axis)
+    y = _apply_axis_matrix(y, Mw, w_axis)
+    return y
 
 
 # ImageNet statistics used by every Depth Anything preprocessing pipeline.

@@ -34,12 +34,12 @@ from txr.core.types import PointSet
 from txr.geometry.features import SIFTDetector, match_features
 from txr.geometry.icp import estimate_normals, icp_point_to_plane
 from txr.geometry.scale import clamp_scale, estimate_scale, ema_scale
-from txr.fusion.voxel_map import (
-    VoxelMap,
-    create_voxel_map,
-    voxel_map_insert,
-    voxel_map_points,
-    voxel_map_size,
+from txr.fusion.sorted_map import (
+    SortedVoxelMap,
+    create_sorted_map,
+    sorted_map_insert,
+    sorted_map_points,
+    sorted_map_size,
 )
 from txr.ops.backproject import backproject_world
 from txr.pipelines.fusion_pipeline import pair_step
@@ -74,7 +74,7 @@ class StreamingReconstructor:
         self.icp_sample = icp_sample
 
         cap = 1 << int(np.ceil(np.log2(self.cfg.max_map_points)))
-        self.map: VoxelMap = create_voxel_map(cap, self.cfg.voxel_size)
+        self.map: SortedVoxelMap = create_sorted_map(cap, self.cfg.voxel_size)
 
         self.poses: List[Tuple[np.ndarray, np.ndarray]] = []
         self.scale = 1.0
@@ -113,7 +113,7 @@ class StreamingReconstructor:
     def _refine_icp(self, points_world: PointSet, R_w2c, t_w2c):
         """Refine the world→camera pose by registering the frame cloud onto
         the current map (point-to-plane ICP on subsampled sets)."""
-        map_pts = voxel_map_points(self.map)
+        map_pts = sorted_map_points(self.map)
         # Subsample both clouds to the ICP budget (static shapes).
         src = PointSet(points_world.xyz[:: max(1, points_world.capacity // self.icp_sample)][: self.icp_sample],
                        points_world.rgb[:: max(1, points_world.capacity // self.icp_sample)][: self.icp_sample],
@@ -202,7 +202,7 @@ class StreamingReconstructor:
                     self.cfg.subsample_factor,
                 )
 
-        self.map = voxel_map_insert(self.map, ps)
+        self.map = sorted_map_insert(self.map, ps)
         self.poses.append((np.asarray(R, np.float32), np.asarray(t, np.float32)))
         self._prev_features = feats
         self._prev_depth = depth
@@ -219,7 +219,7 @@ class StreamingReconstructor:
                 if self.frames_processed and self.frames_processed % 10 == 0:
                     fps = self.frames_processed / (time.time() - start)
                     self._log(f"Fused {self.frames_processed} frames ({fps:.1f} fps), "
-                              f"map: {int(voxel_map_size(self.map))} voxels")
+                              f"map: {int(sorted_map_size(self.map))} voxels")
         except KeyboardInterrupt:
             self._log("Interrupted — finalizing map")
         elapsed = max(time.time() - start, 1e-9)
@@ -228,7 +228,7 @@ class StreamingReconstructor:
         return self.frames_processed
 
     def save(self, path: str):
-        pts = voxel_map_points(self.map)
+        pts = sorted_map_points(self.map)
         xyz, rgb = pts.to_numpy()
         write_ply(path, xyz, rgb)
         self._log(f"Saved {len(xyz)} points to {path}")
