@@ -1,0 +1,58 @@
+"""Grid-accelerated kNN vs the brute-force oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from txr.core.types import PointSet
+from txr.ops.grid_knn import grid_knn_mean_distance
+from txr.ops.outlier import knn_mean_distance
+
+
+class TestGridKNN:
+    def test_matches_bruteforce_on_surface(self, rng):
+        # Surface-like cloud (the post-voxel-downsample regime it targets).
+        n = 2000
+        xy = rng.uniform(0, 1, (n, 2)).astype(np.float32)
+        z = (0.1 * np.sin(8 * xy[:, 0])).astype(np.float32)
+        xyz = np.column_stack([xy, z])
+        mask = np.ones(n, bool)
+        spacing = 1.0 / np.sqrt(n)
+        got = np.asarray(grid_knn_mean_distance(
+            jnp.asarray(xyz), jnp.asarray(mask), cell=3 * spacing, k=8,
+            per_cell=16, chunk=512))
+        exp = np.asarray(knn_mean_distance(jnp.asarray(xyz), jnp.asarray(mask),
+                                           k=8, chunk=512))
+        # Exact when the neighborhood fits in 27 cells x per_cell.
+        close = np.isclose(got, exp, rtol=1e-3, atol=1e-5)
+        assert close.mean() > 0.97, f"only {close.mean():.1%} matched"
+
+    def test_flags_planted_outlier(self, rng):
+        n = 1000
+        xyz = rng.uniform(0, 1, (n, 3)).astype(np.float32) * 0.2
+        xyz[-1] = [5.0, 5.0, 5.0]
+        mask = np.ones(n, bool)
+        d = np.asarray(grid_knn_mean_distance(
+            jnp.asarray(xyz), jnp.asarray(mask), cell=0.05, k=10,
+            per_cell=8, chunk=256))
+        assert d[-1] > 10 * np.median(d[:-1])
+
+    def test_invalid_points_big(self, rng):
+        xyz = rng.uniform(0, 1, (100, 3)).astype(np.float32)
+        mask = np.ones(100, bool)
+        mask[50:] = False
+        d = np.asarray(grid_knn_mean_distance(
+            jnp.asarray(xyz), jnp.asarray(mask), cell=0.2, k=5,
+            per_cell=8, chunk=64))
+        assert (d[50:] > 1e30).all()
+        assert (d[:50] < 1e30).all()
+
+    def test_self_excluded(self):
+        # Two coincident points: each sees the other at distance 0, not itself.
+        xyz = np.array([[0.5, 0.5, 0.5], [0.5, 0.5, 0.5], [0.6, 0.5, 0.5]],
+                       np.float32)
+        d = np.asarray(grid_knn_mean_distance(
+            jnp.asarray(xyz), jnp.ones(3, bool), cell=0.3, k=1,
+            per_cell=4, chunk=4))
+        assert d[0] == pytest.approx(0.0, abs=1e-6)
+        assert d[2] == pytest.approx(0.1, abs=1e-4)

@@ -80,6 +80,16 @@ def merge_pointclouds(
     ps = PointSet.from_numpy(xyz, rgb, capacity=cap)
     ps = voxel_downsample(ps, voxel_size)
     if remove_outliers:
-        ps = remove_statistical_outliers(ps, outlier_neighbors, outlier_std_ratio)
+        if cap > (1 << 17):
+            # Exact O(N^2) kNN is hopeless at this scale — use the
+            # grid-accelerated path (Open3D uses a KD-tree here).
+            from txr.ops.outlier import remove_statistical_outliers_grid
+
+            ps = remove_statistical_outliers_grid(
+                ps, cell=2.5 * voxel_size, nb_neighbors=outlier_neighbors,
+                std_ratio=outlier_std_ratio)
+        else:
+            ps = remove_statistical_outliers(ps, outlier_neighbors,
+                                             outlier_std_ratio)
     out_xyz, out_rgb = ps.to_numpy()
     return out_xyz, out_rgb * 255.0

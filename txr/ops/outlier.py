@@ -86,3 +86,30 @@ def remove_statistical_outliers(
         rgb=jnp.where(keep[:, None], points.rgb, 0.0),
         mask=keep,
     )
+
+
+@partial(jax.jit, static_argnames=("nb_neighbors", "per_cell", "chunk"))
+def remove_statistical_outliers_grid(
+    points: PointSet, cell: float, nb_neighbors: int = 20,
+    std_ratio: float = 2.0, per_cell: int = 8, chunk: int = 65536,
+) -> PointSet:
+    """Grid-accelerated variant for multi-million-point clouds (the TPU
+    equivalent of Open3D's KD-tree path). `cell` ≈ 2.5x the point spacing
+    (e.g. 2.5 * voxel_size after voxel downsampling)."""
+    from txr.ops.grid_knn import grid_knn_mean_distance
+
+    mean_d = grid_knn_mean_distance(points.xyz, points.mask, cell,
+                                    k=nb_neighbors, per_cell=per_cell,
+                                    chunk=chunk)
+    m = points.mask
+    cnt = jnp.maximum(jnp.sum(m), 1)
+    capped = jnp.minimum(mean_d, 1.0e6)  # keep no-neighbor sentinels finite
+    mu = jnp.sum(jnp.where(m, capped, 0.0)) / cnt
+    var = jnp.sum(jnp.where(m, (capped - mu) ** 2, 0.0)) / cnt
+    thresh = mu + std_ratio * jnp.sqrt(var)
+    keep = m & (capped <= thresh)
+    return PointSet(
+        xyz=jnp.where(keep[:, None], points.xyz, 0.0),
+        rgb=jnp.where(keep[:, None], points.rgb, 0.0),
+        mask=keep,
+    )
