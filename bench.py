@@ -13,8 +13,8 @@ Prints ONE JSON line to stdout:
 vs_baseline is against the 30 FPS north-star target (the reference publishes
 no numbers — BASELINE.md).
 
-Env knobs: TXR_BENCH_ENCODER (default vitl), TXR_BENCH_BATCH (default 8),
-TXR_BENCH_BATCHES (default 12).
+Env knobs: TXR_BENCH_ENCODER (default vitl), TXR_BENCH_BATCH (default 16),
+TXR_BENCH_BATCHES (default 8).
 """
 
 import json
@@ -46,8 +46,8 @@ def main():
                                        sorted_map_size)
 
     encoder = os.environ.get("TXR_BENCH_ENCODER", "vitl")
-    batch = int(os.environ.get("TXR_BENCH_BATCH", "8"))
-    n_batches = int(os.environ.get("TXR_BENCH_BATCHES", "12"))
+    batch = int(os.environ.get("TXR_BENCH_BATCH", "16"))
+    n_batches = int(os.environ.get("TXR_BENCH_BATCHES", "8"))
     H, W = 1080, 1920
     in_h, in_w = compute_da_resize(H, W, 518)
 

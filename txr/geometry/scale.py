@@ -73,3 +73,22 @@ def clamp_scale(scale, lo: float = 0.001, hi: float = 1000.0, default: float = 1
 def ema_scale(avg_scale, new_scale, alpha: float = 0.7):
     """Running scale EMA avg = alpha*avg + (1-alpha)*new (reference :650)."""
     return alpha * avg_scale + (1.0 - alpha) * new_scale
+
+
+class DepthScaleEstimator:
+    """Reference-named facade (depth_enhanced_reconstruction.py:652-697):
+    estimate_scale(sparse_3d, sparse_2d, depth_map) -> float."""
+
+    def __init__(self, min_points: int = 5, min_valid: int = 3):
+        self.min_points = min_points
+        self.min_valid = min_valid
+
+    def estimate_scale(self, sparse_points, sparse_2d, depth_map) -> float:
+        import numpy as np
+
+        sparse_points = jnp.asarray(np.asarray(sparse_points, np.float32))
+        sparse_2d = jnp.asarray(np.asarray(sparse_2d, np.float32))
+        mask = jnp.ones(sparse_points.shape[0], bool)
+        return float(estimate_scale(
+            sparse_points, sparse_2d, mask, jnp.asarray(depth_map),
+            min_points=self.min_points, min_valid=self.min_valid))

@@ -112,3 +112,15 @@ def depth_to_colormap(depth: np.ndarray, colormap: int | str = "jet") -> np.ndar
 
 def save_depth_vis(path: str, depth: np.ndarray, colormap: int | str = "jet") -> None:
     cv2.imwrite(path, depth_to_colormap(depth, colormap))
+
+
+class DepthImageLoader:
+    """Reference-named facade (depth_to_reconstruction.py:76-119)."""
+
+    @staticmethod
+    def load_depth(path: str) -> np.ndarray:
+        return load_depth(path)
+
+    @staticmethod
+    def find_matching_depth(rgb_name: str, depth_folder) -> Optional[str]:
+        return find_matching_depth(str(rgb_name), str(depth_folder))

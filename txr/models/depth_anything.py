@@ -235,3 +235,23 @@ class DepthAnythingModel:
         if self.version == "v3" and intrinsics is not None:
             depth = depth * ((intrinsics.fx + intrinsics.fy) / 2.0 / self.focal_length_ref)
         return depth
+
+
+class DepthEstimator:
+    """Reference-named facade (depth_enhanced_reconstruction.py:87-171):
+    estimate(bgr) / estimate_batch(list) on the DA-V2-Large operating point."""
+
+    def __init__(self, model_name: Optional[str] = None, device: str = "auto",
+                 **kwargs):
+        # model_name kept for signature parity; the registry entry it mapped
+        # to (Depth-Anything-V2-Large) is the default here.
+        self.model = DepthAnythingModel(version="v2", encoder="vitl", **kwargs)
+
+    def estimate(self, bgr: np.ndarray) -> np.ndarray:
+        return self.model.infer(bgr)
+
+    def estimate_batch(self, images) -> list:
+        arr = np.stack(images)
+        if len({im.shape for im in images}) == 1:
+            return list(self.model.infer_batch(arr))
+        return [self.model.infer(im) for im in images]

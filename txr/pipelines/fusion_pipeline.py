@@ -288,3 +288,99 @@ class DepthToReconstructionPipeline:
         os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
         write_ply(output_path, points, colors / 255.0)
         self._log(f"Saved to {output_path}")
+
+
+class SparseReconstructor:
+    """Reference-named facade (depth_to_reconstruction.py:122-271): CLAHE+SIFT
+    detection/matching, essential-matrix pose, triangulation, and point
+    filtering — on the TPU ops."""
+
+    def __init__(self, config: Optional[ReconstructionConfig] = None,
+                 feature_capacity: int = 8192):
+        self.config = config or ReconstructionConfig()
+        self.detector = SIFTDetector(capacity=feature_capacity)
+        self._key = jax.random.PRNGKey(0)
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def detect_and_match(self, img1: np.ndarray, img2: np.ndarray):
+        """Returns (pts1 (M,2), pts2 (M,2), n_matches)."""
+        f1 = self.detector.detect(img1)
+        f2 = self.detector.detect(img2)
+        uv1, uv2, mask = match_features(f1, f2, self.config.match_ratio)
+        return uv1[mask], uv2[mask], int(mask.sum())
+
+    def compute_pose(self, pts1: np.ndarray, pts2: np.ndarray):
+        """Returns (R, t, inlier_mask) or (None, None, None) on failure."""
+        if len(pts1) < 8:
+            return None, None, None
+        cap = 1 << max(8, int(np.ceil(np.log2(len(pts1)))))
+        a = np.zeros((cap, 2), np.float32); a[:len(pts1)] = pts1
+        b = np.zeros((cap, 2), np.float32); b[:len(pts2)] = pts2
+        m = np.zeros((cap,), bool); m[:len(pts1)] = True
+        K = jnp.asarray(self.config.K.astype(np.float32))
+        R, t, X, valid, n_inl = pair_step(
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(m), K,
+            self._next_key(), self.config.ransac_threshold,
+            self.config.min_depth, self.config.max_depth)
+        if int(n_inl) < 8:
+            return None, None, None
+        self._last = (np.asarray(X)[:len(pts1)], np.asarray(valid)[:len(pts1)])
+        return np.asarray(R), np.asarray(t), self._last[1]
+
+    def triangulate(self, pts1, pts2, R, t):
+        """DLT triangulation under (I|0) and (R|t)."""
+        K = self.config.K.astype(np.float32)
+        P1 = (K @ np.hstack([np.eye(3), np.zeros((3, 1))])).astype(np.float32)
+        P2 = (K @ np.hstack([R.reshape(3, 3), np.asarray(t).reshape(3, 1)])).astype(np.float32)
+        X = triangulate(jnp.asarray(P1), jnp.asarray(P2),
+                        jnp.asarray(np.asarray(pts1, np.float32)),
+                        jnp.asarray(np.asarray(pts2, np.float32)))
+        return np.asarray(X)
+
+    def filter_points(self, points_3d, pts1, pts2, R, t, max_error: float = 5.0):
+        """Positive depth both cameras + reprojection < max_error px."""
+        cfg = self.config
+        K = cfg.K.astype(np.float32)
+        P1 = (K @ np.hstack([np.eye(3), np.zeros((3, 1))])).astype(np.float32)
+        P2 = (K @ np.hstack([R.reshape(3, 3), np.asarray(t).reshape(3, 1)])).astype(np.float32)
+        X = jnp.asarray(np.asarray(points_3d, np.float32))
+        e1 = np.asarray(reprojection_error(jnp.asarray(P1), X,
+                                           jnp.asarray(np.asarray(pts1, np.float32))))
+        e2 = np.asarray(reprojection_error(jnp.asarray(P2), X,
+                                           jnp.asarray(np.asarray(pts2, np.float32))))
+        z1 = np.asarray(points_3d)[:, 2]
+        z2 = np.asarray(points_3d) @ np.asarray(R).reshape(3, 3)[2] + np.asarray(t).reshape(3)[2]
+        return ((z1 > cfg.min_depth) & (z1 < cfg.max_depth)
+                & (z2 > cfg.min_depth) & (e1 < max_error) & (e2 < max_error))
+
+
+class DenseReconstructor:
+    """Reference-named facade (depth_to_reconstruction.py:274-420)."""
+
+    def __init__(self, config: Optional[ReconstructionConfig] = None):
+        self.config = config or ReconstructionConfig()
+
+    def estimate_scale(self, sparse_points, sparse_2d, depth_map) -> float:
+        from txr.geometry.scale import DepthScaleEstimator
+
+        s = DepthScaleEstimator().estimate_scale(sparse_points, sparse_2d, depth_map)
+        return float(np.asarray(clamp_scale(jnp.asarray(s))))
+
+    def depth_to_pointcloud(self, depth, color, pose=None, scale: float = 1.0,
+                            subsample: int = 2):
+        cfg = self.config
+        R, t = pose if pose is not None else (np.eye(3), np.zeros(3))
+        ps = depth_to_pointcloud(depth, color, np.asarray(R), np.asarray(t).reshape(3),
+                                 cfg.fx, cfg.fy, cfg.cx, cfg.cy, scale=scale,
+                                 subsample=subsample, min_depth=cfg.min_depth,
+                                 max_depth=cfg.max_depth)
+        xyz, rgb = ps.to_numpy()
+        return xyz, rgb * 255.0
+
+    def merge_pointclouds(self, clouds, voxel_size: float = 0.005):
+        return merge_pointclouds(clouds, voxel_size=voxel_size,
+                                 outlier_neighbors=self.config.outlier_neighbors,
+                                 outlier_std_ratio=self.config.outlier_std_ratio)
