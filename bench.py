@@ -2,11 +2,13 @@
 """End-to-end benchmark: depth → fused point cloud at 1080p on one chip.
 
 Measures the BASELINE.json north-star metric: frames/sec through the full
-TPU-resident pipeline
-    uint8 1080p frame → bicubic resize+normalize → Depth Anything forward
-    (Flax ViT + DPT, Pallas flash attention) → bilinear upsample to 1080p
-    → back-projection (stride 2 ≈ 518k points/frame) → streaming voxel-map
-    fusion in HBM.
+TPU-resident pipeline, fused into ONE jitted program per batch (no HBM
+round-trip of intermediate point sets):
+
+    uint8 1080p frames → bicubic resize+normalize (MXU interpolation matmuls)
+    → Depth Anything ViT-L forward (Pallas flash attention, bf16)
+    → bilinear upsample to 1080p → back-projection (stride 2, 518k pts/frame)
+    → scatter-free sorted voxel-map fusion in HBM (donated state).
 
 Prints ONE JSON line to stdout:
     {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
@@ -21,6 +23,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -38,6 +41,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from txr.core.types import PointSet
     from txr.models.depth_anything import build_model
     from txr.ops.resize import (IMAGENET_MEAN, IMAGENET_STD, compute_da_resize,
                                 resize_bicubic, resize_bilinear)
@@ -68,8 +72,8 @@ def main():
     eye = jnp.eye(3, dtype=jnp.float32)
     zero_t = jnp.zeros(3, jnp.float32)
 
-    @jax.jit
-    def depth_and_points(params, frames_u8):
+    @partial(jax.jit, donate_argnums=(2,))
+    def step(params, frames_u8, vm):
         x = frames_u8.astype(jnp.float32) / 255.0
         xm = resize_bicubic(x, in_h, in_w, align_corners=False)
         xm = ((xm - mean) / std).astype(jnp.bfloat16)
@@ -82,34 +86,31 @@ def main():
                                      fx, fy, cx, cy, 1e-4, 1e6, 1.0, 2)
 
         ps = jax.vmap(one)(depth_full, frames_u8)
-        # Flatten the batch into one point stream for fusion.
         n = ps.xyz.shape[0] * ps.xyz.shape[1]
-        from txr.core.types import PointSet
-        return PointSet(ps.xyz.reshape(n, 3), ps.rgb.reshape(n, 3),
+        flat = PointSet(ps.xyz.reshape(n, 3), ps.rgb.reshape(n, 3),
                         ps.mask.reshape(n))
+        return sorted_map_insert(vm, flat)
 
     # Pre-stage input batches on device (decode/H2D overlaps compute in the
     # deployed pipeline; the tunnel's ~150 MB/s relay would otherwise be the
     # artifact being measured).
     rng = np.random.default_rng(0)
-    host_frames = [rng.integers(0, 255, (batch, H, W, 3), dtype=np.uint8)
-                   for _ in range(2)]
-    dev_frames = [jax.device_put(f) for f in host_frames]
+    dev_frames = [jax.device_put(rng.integers(0, 255, (batch, H, W, 3),
+                                              dtype=np.uint8))
+                  for _ in range(2)]
 
     vmap_state = create_sorted_map(1 << 21, 0.01)
 
     # Warm-up / compile.
     t0 = time.time()
-    ps = depth_and_points(params, dev_frames[0])
-    vmap_state = sorted_map_insert(vmap_state, ps)
+    vmap_state = step(params, dev_frames[0], vmap_state)
     _ = int(sorted_map_size(vmap_state))
     log(f"compile+warmup: {time.time() - t0:.1f}s")
 
     # Timed loop (device-resident; one sync at the end).
     t0 = time.perf_counter()
     for i in range(n_batches):
-        ps = depth_and_points(params, dev_frames[i % 2])
-        vmap_state = sorted_map_insert(vmap_state, ps)
+        vmap_state = step(params, dev_frames[i % 2], vmap_state)
     n_voxels = int(sorted_map_size(vmap_state))  # forces full sync
     dt = time.perf_counter() - t0
 

@@ -164,3 +164,23 @@ class TestEnhancedEndToEnd:
         points, colors, poses = result
         assert len(points) > 100
         assert (tmp_path / "out" / "reconstruction.ply").exists()
+
+
+class TestDenseCorrespondences:
+    def test_translation_disparity(self):
+        from txr.geometry.hybrid import generate_dense_correspondences
+        depth = np.full((64, 64), 2.0, np.float32)
+        K = np.array([[50.0, 0, 32], [0, 50.0, 32], [0, 0, 1]])
+        p1, p2 = generate_dense_correspondences(
+            depth, depth, np.eye(3), np.array([0.1, 0, 0]), K, grid_step=8)
+        assert len(p1) > 30
+        # Pure x-translation at constant depth → disparity fx*tx/z = 2.5 px.
+        np.testing.assert_allclose(np.median(p2 - p1, axis=0), [2.5, 0], atol=1e-5)
+
+    def test_invalid_depth_skipped(self):
+        from txr.geometry.hybrid import generate_dense_correspondences
+        depth = np.zeros((32, 32), np.float32)  # all invalid
+        K = np.eye(3)
+        p1, p2 = generate_dense_correspondences(
+            depth, depth, np.eye(3), np.zeros(3), K)
+        assert len(p1) == 0

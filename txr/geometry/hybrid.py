@@ -207,3 +207,36 @@ class DepthGuidedMatcher:
         final = consistent | rank_ok
         sel = idx[final]
         return pts1[sel], pts2[sel]
+
+
+def generate_dense_correspondences(depth1: np.ndarray, depth2: np.ndarray,
+                                   R: np.ndarray, t: np.ndarray, K: np.ndarray,
+                                   grid_step: int = 16):
+    """Dense grid correspondences from depth + known pose (vectorized parity
+    of reference :485-528, which loops per grid point; defined there but
+    never called — provided for API completeness).
+
+    Back-projects a grid of image-1 pixels with depth1, transforms into
+    camera 2, reprojects, and keeps in-bounds points with positive depth.
+    Returns (pts1 (M,2), pts2 (M,2)) float32.
+    """
+    h, w = depth1.shape
+    ys, xs = np.mgrid[0:h:grid_step, 0:w:grid_step]
+    xs = xs.ravel().astype(np.float64)
+    ys = ys.ravel().astype(np.float64)
+    d = depth1[ys.astype(int), xs.astype(int)]
+    ok = d > 0
+    xs, ys, d = xs[ok], ys[ok], d[ok]
+
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    P1 = np.stack([(xs - cx) * d / fx, (ys - cy) * d / fy, d], axis=1)
+    P2 = P1 @ np.asarray(R).T + np.asarray(t).reshape(1, 3)
+    front = P2[:, 2] > 0
+    P2, xs, ys = P2[front], xs[front], ys[front]
+    u2 = fx * P2[:, 0] / P2[:, 2] + cx
+    v2 = fy * P2[:, 1] / P2[:, 2] + cy
+    inb = (u2 >= 0) & (u2 < w) & (v2 >= 0) & (v2 < h)
+    pts1 = np.stack([xs[inb], ys[inb]], axis=1).astype(np.float32)
+    pts2 = np.stack([u2[inb], v2[inb]], axis=1).astype(np.float32)
+    return pts1, pts2
