@@ -240,3 +240,25 @@ class TestInferenceWrapper:
         d = m.infer_batch(imgs)
         assert d.shape == (3, 60, 80)
         d0 = m.infer(imgs[0]) if hasattr(m, 'dataset') else None  # skip single-path compare
+
+
+class TestSwiGLU:
+    def test_swiglu_encoder_forward(self, rng):
+        """The ViT-G FFN variant (SwiGLU) runs and differs from plain MLP."""
+        from txr.models.vit import ViTConfig, ViTEncoder
+        cfg = ViTConfig(hidden_size=32, num_layers=2, num_heads=2,
+                        pos_embed_size=4, out_layers=(0, 1), use_swiglu=True,
+                        use_flash=False)
+        enc = ViTEncoder(cfg)
+        x = jnp.asarray(rng.normal(size=(1, 56, 56, 3)).astype(np.float32))
+        params = enc.init(jax.random.PRNGKey(0), x)["params"]
+        # SwiGLU params present (w12/w3, not fc1/fc2).
+        assert "w12" in params["block_0"]["mlp"]
+        outs = enc.apply({"params": params}, x)
+        assert len(outs) == 2 and outs[0].shape == (1, 1 + 16, 32)
+
+    def test_vitg_registry_buildable(self):
+        from txr.models.depth_anything import build_model
+        model, vit, dpt = build_model("v2", "vitg")
+        assert vit.use_swiglu and vit.num_layers == 40
+        assert dpt.out_channels == (1536, 1536, 1536, 1536)

@@ -1,0 +1,79 @@
+"""Native JAX checkpointing for converted model params (orbax).
+
+The reference's checkpoint story is torch.load / HF from_pretrained
+(SURVEY §5.4). Here, torch checkpoints convert once
+(txr.models.convert) and then persist as orbax checkpoints so later runs skip
+the torch round-trip entirely; `load_params_cached` is the one-call API the
+pipelines use.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+from typing import Any, Optional
+
+import jax
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_CACHE = os.path.expanduser("~/.cache/txr/checkpoints")
+
+
+def save_params(path: str, params: Any) -> None:
+    """Write a params pytree as an orbax checkpoint directory."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, params, force=True)
+    ckptr.wait_until_finished()
+    logger.info("Saved params to %s", path)
+
+
+def load_params(path: str, template: Optional[Any] = None) -> Any:
+    """Restore a params pytree from an orbax checkpoint directory."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        shapes = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), template)
+        return ckptr.restore(path, shapes)
+    return ckptr.restore(path)
+
+
+def _cache_key(torch_path: str) -> str:
+    st = os.stat(torch_path)
+    raw = f"{os.path.abspath(torch_path)}:{st.st_size}:{int(st.st_mtime)}"
+    return hashlib.sha256(raw.encode()).hexdigest()[:16]
+
+
+def load_params_cached(torch_path: str, model,
+                       cache_dir: str = DEFAULT_CACHE) -> Any:
+    """Convert a torch checkpoint once; serve orbax-cached params afterwards.
+
+    The cache key covers path+size+mtime, so a replaced checkpoint file
+    invalidates its cache entry.
+    """
+    from txr.models.convert import load_checkpoint
+
+    key = _cache_key(torch_path)
+    cache_path = os.path.join(cache_dir, key)
+    if os.path.isdir(cache_path):
+        try:
+            params = load_params(cache_path)
+            logger.info("Loaded cached params from %s", cache_path)
+            return params
+        except Exception as e:  # corrupt cache → reconvert
+            logger.warning("Checkpoint cache %s unreadable (%s); reconverting",
+                           cache_path, e)
+    params = load_checkpoint(torch_path, model)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        save_params(cache_path, params)
+    except Exception as e:  # cache write failure is non-fatal
+        logger.warning("Could not cache converted params: %s", e)
+    return params

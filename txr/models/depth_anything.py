@@ -18,6 +18,7 @@ along the leading axis; params can be held in bfloat16.
 from __future__ import annotations
 
 import logging
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
@@ -156,8 +157,12 @@ class DepthAnythingModel:
             version, encoder, metric, max_depth, use_flash)
 
         if checkpoint_path:
-            from txr.models.convert import load_checkpoint
-            self.params = load_checkpoint(checkpoint_path, self.model)
+            if os.path.isdir(checkpoint_path):  # native orbax checkpoint
+                from txr.models.checkpoint import load_params
+                self.params = load_params(checkpoint_path)
+            else:  # torch .pth/.safetensors, converted once then orbax-cached
+                from txr.models.checkpoint import load_params_cached
+                self.params = load_params_cached(checkpoint_path, self.model)
             logger.info("Loaded checkpoint from %s", checkpoint_path)
         else:
             logger.warning(

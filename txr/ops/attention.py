@@ -40,25 +40,30 @@ def attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, block_k: int,
                   sm_scale: float):
-    """One Q block against the full K/V stream with online softmax."""
-    q = q_ref[0].astype(jnp.float32) * sm_scale      # (block_q, d)
+    """One Q block against the full K/V stream with online softmax.
+
+    Matmuls run in the input dtype (bf16 on the inference path — 2x MXU rate)
+    with f32 accumulation; softmax statistics stay f32.
+    """
+    q = q_ref[0]                                      # (block_q, d)
     block_q, d = q.shape
     num_k = k_ref.shape[1] // block_k
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * sm_scale
         kidx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
         s = jnp.where(kidx < kv_len, s, _NEG_INF)
 
         m_cur = jnp.max(s, axis=-1, keepdims=True)               # (bq, 1)
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)                                   # (bq, bk)
+        p = jnp.exp(s - m_new)                                   # (bq, bk) f32
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        acc = acc * alpha + jnp.dot(p.astype(v.dtype), v,
+                                    preferred_element_type=jnp.float32)
         return acc, m_new, l_new
 
     acc0 = jnp.zeros((block_q, d), jnp.float32)
