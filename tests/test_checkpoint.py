@@ -8,7 +8,12 @@ import pytest
 from txr.models.vit import ViTConfig
 from txr.models.dpt import DPTConfig
 from txr.models.depth_anything import DepthAnythingFlax
-from txr.models.checkpoint import save_params, load_params, load_params_cached
+from txr.models.checkpoint import (
+    _cache_key,
+    save_params,
+    load_params,
+    load_params_cached,
+)
 
 
 def tiny_model():
@@ -18,26 +23,29 @@ def tiny_model():
     return DepthAnythingFlax(vit=vit, dpt=dpt)
 
 
+def assert_trees_equal(a, b):
+    for (ka, la), (kb, lb) in zip(jax.tree_util.tree_leaves_with_path(a),
+                                  jax.tree_util.tree_leaves_with_path(b)):
+        assert ka == kb
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
 class TestOrbaxRoundtrip:
     def test_save_load(self, tmp_path):
         model = tiny_model()
         params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 56, 56, 3)))["params"]
         p = str(tmp_path / "ckpt")
         save_params(p, params)
-        back = load_params(p)
-        for (ka, a), (kb, b) in zip(
-                jax.tree_util.tree_leaves_with_path(params),
-                jax.tree_util.tree_leaves_with_path(back)):
-            assert ka == kb
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert_trees_equal(params, load_params(p))
 
 
 class TestTorchCache:
-    def test_convert_once_then_cached(self, tmp_path):
+    def test_convert_once_then_cached_and_evicted(self, tmp_path):
+        """HF-named torch state dict converts, caches, serves from cache, and
+        stale entries for the same source evict on re-conversion."""
         torch = pytest.importorskip("torch")
-        model = tiny_model()
-        # Build a torch state dict in the original-DA naming for the tiny model
-        # via the HF-parity helper from test_models.
+        import os
+        import time
         from tests.test_models import make_hf_pair
 
         tm, fm, params_ref = make_hf_pair(hidden=32, layers=4,
@@ -47,22 +55,42 @@ class TestTorchCache:
 
         cache = tmp_path / "cache"
         p1 = load_params_cached(str(pth), fm, cache_dir=str(cache))
-        assert len(list(cache.iterdir())) == 1  # cached
+        assert len(list(cache.iterdir())) == 1
         p2 = load_params_cached(str(pth), fm, cache_dir=str(cache))
-        for (ka, a), (kb, b) in zip(
-                jax.tree_util.tree_leaves_with_path(p1),
-                jax.tree_util.tree_leaves_with_path(p2)):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert_trees_equal(p1, p2)
+        assert_trees_equal(p1, params_ref)
 
-    def test_model_accepts_orbax_dir(self, tmp_path):
-        from txr.models.depth_anything import DepthAnythingModel
+        # Touch the file (content-stamp changes) → new entry, old evicted.
+        os.utime(pth, ns=(time.time_ns(), time.time_ns() + 1))
+        load_params_cached(str(pth), fm, cache_dir=str(cache))
+        assert len(list(cache.iterdir())) == 1  # superseded entry removed
+
+    def test_cache_key_sensitive_to_mtime_ns(self, tmp_path):
+        import os
+        p = tmp_path / "x.pth"
+        p.write_bytes(b"abc")
+        k1 = _cache_key(str(p))
+        os.utime(p, ns=(1_000_000_001, 1_000_000_001))
+        k2 = _cache_key(str(p))
+        os.utime(p, ns=(1_000_000_001, 1_000_000_002))  # sub-second change
+        k3 = _cache_key(str(p))
+        assert k1 != k2 and k2 != k3
+        assert k2.split("-")[0] == k3.split("-")[0]  # same source prefix
+
+    def test_model_wrapper_orbax_dir_dispatch(self, tmp_path, monkeypatch):
+        """DepthAnythingModel(checkpoint_path=<orbax dir>) takes the native
+        restore branch end-to-end."""
+        import txr.models.depth_anything as da
+
         model = tiny_model()
         params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 56, 56, 3)))["params"]
-        p = str(tmp_path / "native_ckpt")
-        save_params(p, params)
-        # Wrapper with a directory checkpoint path loads orbax directly.
-        m = DepthAnythingModel.__new__(DepthAnythingModel)
-        from txr.models.checkpoint import load_params as lp
-        restored = lp(p)
-        assert jax.tree_util.tree_structure(restored) == \
-            jax.tree_util.tree_structure(params)
+        ckpt_dir = str(tmp_path / "native_ckpt")
+        save_params(ckpt_dir, params)
+
+        monkeypatch.setattr(
+            da, "build_model",
+            lambda *a, **k: (model, model.vit, model.dpt))
+        m = da.DepthAnythingModel(version="v2", encoder="vits",
+                                  checkpoint_path=ckpt_dir,
+                                  param_dtype=jnp.float32)
+        assert_trees_equal(m.params, params)

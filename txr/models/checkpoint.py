@@ -46,18 +46,39 @@ def load_params(path: str, template: Optional[Any] = None) -> Any:
 
 
 def _cache_key(torch_path: str) -> str:
+    """Two-part key: <source-path-hash>-<content-stamp>.
+
+    The path hash groups all conversions of the same source file so stale
+    entries can be evicted; the stamp uses st_mtime_ns (not whole seconds —
+    same-second overwrites must still invalidate) plus size.
+    """
     st = os.stat(torch_path)
-    raw = f"{os.path.abspath(torch_path)}:{st.st_size}:{int(st.st_mtime)}"
-    return hashlib.sha256(raw.encode()).hexdigest()[:16]
+    src = hashlib.sha256(os.path.abspath(torch_path).encode()).hexdigest()[:12]
+    stamp = hashlib.sha256(f"{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:12]
+    return f"{src}-{stamp}"
+
+
+def _evict_stale(cache_dir: str, key: str) -> None:
+    """Remove superseded conversions of the same source file (a ViT-L entry
+    is ~1.3 GB; without eviction every mtime change leaks one)."""
+    import shutil
+
+    src_prefix = key.split("-")[0] + "-"
+    try:
+        for entry in os.listdir(cache_dir):
+            if entry.startswith(src_prefix) and entry != key:
+                shutil.rmtree(os.path.join(cache_dir, entry), ignore_errors=True)
+                logger.info("Evicted stale checkpoint cache %s", entry)
+    except OSError:
+        pass
 
 
 def load_params_cached(torch_path: str, model,
                        cache_dir: str = DEFAULT_CACHE) -> Any:
     """Convert a torch checkpoint once; serve orbax-cached params afterwards.
 
-    The cache key covers path+size+mtime, so a replaced checkpoint file
-    invalidates its cache entry.
-    """
+    The cache key covers path+size+mtime_ns, so a replaced checkpoint file
+    invalidates its entry; older entries for the same source are evicted."""
     from txr.models.convert import load_checkpoint
 
     key = _cache_key(torch_path)
@@ -74,6 +95,7 @@ def load_params_cached(torch_path: str, model,
     try:
         os.makedirs(cache_dir, exist_ok=True)
         save_params(cache_path, params)
+        _evict_stale(cache_dir, key)
     except Exception as e:  # cache write failure is non-fatal
         logger.warning("Could not cache converted params: %s", e)
     return params
