@@ -1,0 +1,94 @@
+"""Cross-round golden regression: the fusion pipeline's output on a fixed
+deterministic scene must stay within chamfer tolerance of the committed
+golden PLY (tests/golden/fusion_scene.ply).
+
+If an intentional algorithm change shifts the output, regenerate with:
+    python -m tests.test_golden
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "fusion_scene.ply")
+
+W, H = 256, 192
+FX = FY = 200.0
+CX, CY = W / 2.0, H / 2.0
+
+
+def build_scene(tmpdir):
+    """Two-layer textured scene, 3 cameras — fully deterministic."""
+    rng = np.random.default_rng(42)
+    fg = cv2.resize(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8),
+                    (512, 512), interpolation=cv2.INTER_NEAREST)
+    bg = cv2.resize(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8),
+                    (512, 512), interpolation=cv2.INTER_NEAREST)
+    rgb_dir = os.path.join(tmpdir, "rgb")
+    depth_dir = os.path.join(tmpdir, "depth")
+    os.makedirs(rgb_dir, exist_ok=True)
+    os.makedirs(depth_dir, exist_ok=True)
+    for i, tx in enumerate([0.0, 0.1, 0.2]):
+        vv, uu = np.mgrid[0:H, 0:W].astype(np.float64)
+        rx = (uu - CX) / FX
+        ry = (vv - CY) / FY
+        img = np.zeros((H, W, 3), np.uint8)
+        depth = np.full((H, W), 5.0, np.float32)
+
+        def sample(tex, wx, wy, span):
+            ti = np.clip((wx + span) / (2 * span) * 511, 0, 511).astype(int)
+            tj = np.clip((wy + span) / (2 * span) * 511, 0, 511).astype(int)
+            return tex[tj, ti]
+
+        img[:] = sample(bg, rx * 5.0 + tx, ry * 5.0, 4.0)
+        fxw, fyw = rx * 2.5 + tx, ry * 2.5
+        m = (np.abs(fxw) < 0.7) & (np.abs(fyw) < 0.7)
+        img[m] = sample(fg, fxw, fyw, 0.8)[m]
+        depth[m] = 2.5
+        cv2.imwrite(os.path.join(rgb_dir, f"f_{i:03d}.png"), img)
+        np.save(os.path.join(depth_dir, f"f_{i:03d}_depth.npy"), depth / 6.0)
+    return rgb_dir, depth_dir
+
+
+def run_pipeline(tmpdir):
+    from txr.core.config import ReconstructionConfig
+    from txr.pipelines.fusion_pipeline import DepthToReconstructionPipeline
+
+    rgb_dir, depth_dir = build_scene(tmpdir)
+    cfg = ReconstructionConfig(fx=FX, fy=FY, cx=CX, cy=CY,
+                               voxel_size=0.05, subsample_factor=4)
+    pipe = DepthToReconstructionPipeline(cfg, feature_capacity=4096,
+                                         verbose=False)
+    pipe.load_data(rgb_dir, depth_dir)
+    points, colors, poses = pipe.reconstruct()
+    return points, colors
+
+
+class TestGolden:
+    def test_fusion_matches_golden(self, tmp_path):
+        if not os.path.exists(GOLDEN):
+            pytest.skip("golden not generated yet (python -m tests.test_golden)")
+        from txr.io.ply import read_ply
+        from txr.utils.chamfer import chamfer_distance
+
+        points, _ = run_pipeline(str(tmp_path))
+        gold, _ = read_ply(GOLDEN)
+        d = chamfer_distance(points, gold)
+        # Golden scene spans ~15 units; 1e-2 here ≈ the 1e-3-of-scene-scale
+        # fidelity bar of BASELINE.json.
+        assert d < 1e-2, f"chamfer vs golden = {d}"
+
+
+if __name__ == "__main__":
+    import tempfile
+
+    from txr.io.ply import write_ply
+
+    with tempfile.TemporaryDirectory() as td:
+        points, colors = run_pipeline(td)
+    os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
+    write_ply(GOLDEN, points, colors / 255.0)
+    print(f"golden written: {GOLDEN} ({len(points)} points)")
