@@ -30,6 +30,9 @@ def main():
     parser.add_argument('--cy', type=float, default=960.0, help='Principal point Y')
     parser.add_argument('--no-depth', action='store_true', help='Disable depth estimation')
     parser.add_argument('--no-hybrid', action='store_true', help='Disable hybrid features')
+    parser.add_argument('--ba', action='store_true',
+                        help='Refine poses with bundle adjustment (extends the '
+                             'reference, which declares BA but never runs it)')
 
     args = parser.parse_args()
 
@@ -46,6 +49,7 @@ def main():
         K=K,
         use_depth=not args.no_depth,
         use_hybrid_features=not args.no_hybrid,
+        use_ba=args.ba,
     )
 
     num_images = reconstructor.load_images(args.input)

@@ -184,3 +184,42 @@ class TestDenseCorrespondences:
         p1, p2 = generate_dense_correspondences(
             depth, depth, np.eye(3), np.zeros(3), K)
         assert len(p1) == 0
+
+
+class TestEnhancedWithBA:
+    def test_ba_path_runs_and_outputs(self, tmp_path):
+        from txr.pipelines.enhanced_pipeline import DepthEnhancedReconstruction
+
+        class FakeDepthModel:
+            def infer(self, img, intr=None):
+                return np.full(img.shape[:2], 2.0, np.float32)
+
+            def infer_batch(self, imgs, intr=None):
+                return np.full(imgs.shape[:3], 2.0, np.float32)
+
+        rng = np.random.default_rng(4)
+        folder = tmp_path / "imgs"
+        folder.mkdir()
+        base = np.full((120, 160, 3), 90, np.uint8)
+        for _ in range(35):
+            c = rng.integers(0, 255, 3).tolist()
+            p = (int(rng.integers(10, 150)), int(rng.integers(10, 110)))
+            cv2.rectangle(base, p, (p[0] + 8, p[1] + 6), c, -1)
+        for i, dx in enumerate([0, 7, 14]):
+            M = np.float32([[1, 0, dx], [0, 1, 0]])
+            cv2.imwrite(str(folder / f"im_{i}.png"), cv2.warpAffine(base, M, (160, 120)))
+        K = np.array([[130.0, 0, 80], [0, 130.0, 60], [0, 0, 1]])
+        rec = DepthEnhancedReconstruction(K, use_depth=True, use_hybrid_features=True,
+                                          depth_model=FakeDepthModel(), verbose=False,
+                                          subsample=4, voxel_size=0.05,
+                                          use_ba=True, ba_iterations=5)
+        rec.load_images(str(folder))
+        result = rec.reconstruct(output_dir=str(tmp_path / "out"))
+        assert result is not None
+        points, colors, poses = result
+        assert len(points) > 100
+        assert len(poses) == 3
+        # Poses remain orthonormal after BA.
+        for R, t in poses:
+            np.testing.assert_allclose(np.asarray(R) @ np.asarray(R).T,
+                                       np.eye(3), atol=1e-4)

@@ -93,3 +93,31 @@ def merge_pointclouds(
                                              outlier_std_ratio)
     out_xyz, out_rgb = ps.to_numpy()
     return out_xyz, out_rgb * 255.0
+
+
+class DensePointCloudGenerator:
+    """Reference-named facade (depth_enhanced_reconstruction.py:535-645):
+    depth_to_pointcloud with (R, t) pose + merge (voxel downsample only —
+    this script's merge has no statistical-outlier pass)."""
+
+    def __init__(self, K: np.ndarray, min_depth: float = 0.1,
+                 max_depth: float = 100.0):
+        self.K = np.asarray(K, np.float64)
+        self.min_depth = min_depth
+        self.max_depth = max_depth
+
+    def depth_to_pointcloud(self, depth, color, R=None, t=None,
+                            scale: float = 1.0, subsample: int = 4):
+        R = np.eye(3) if R is None else np.asarray(R)
+        t = np.zeros(3) if t is None else np.asarray(t).reshape(3)
+        ps = depth_to_pointcloud(
+            depth, color, R, t,
+            self.K[0, 0], self.K[1, 1], self.K[0, 2], self.K[1, 2],
+            scale=scale, subsample=subsample,
+            min_depth=self.min_depth, max_depth=self.max_depth)
+        xyz, rgb = ps.to_numpy()
+        return xyz, rgb * 255.0
+
+    def merge_pointclouds(self, clouds, voxel_size: float = 0.005):
+        return merge_pointclouds(clouds, voxel_size=voxel_size,
+                                 remove_outliers=False)

@@ -23,17 +23,22 @@ _BIG = jnp.float32(3.0e38)
 
 
 def _so3_exp(w: jnp.ndarray) -> jnp.ndarray:
-    """Rodrigues: (3,) axis-angle → (3,3) rotation."""
-    theta = jnp.linalg.norm(w) + 1e-12
-    k = w / theta
+    """Rodrigues: (3,) axis-angle → (3,3) rotation.
+
+    Written smooth at w = 0 (Taylor branch + guarded denominators) so it is
+    safe under jacfwd — bundle adjustment differentiates through this at
+    exactly zero, where d||w||/dw is undefined in the naive form.
+    """
+    t2 = jnp.sum(w * w)
+    t = jnp.sqrt(t2 + 1e-24)
+    A = jnp.where(t2 > 1e-8, jnp.sin(t) / t, 1.0 - t2 / 6.0)
+    B = jnp.where(t2 > 1e-8, (1.0 - jnp.cos(t)) / (t2 + 1e-24), 0.5 - t2 / 24.0)
     K = jnp.array([
-        [0.0, -k[2], k[1]],
-        [k[2], 0.0, -k[0]],
-        [-k[1], k[0], 0.0],
+        [0.0, -w[2], w[1]],
+        [w[2], 0.0, -w[0]],
+        [-w[1], w[0], 0.0],
     ], w.dtype)
-    s = jnp.sin(theta)
-    c = jnp.cos(theta)
-    return jnp.eye(3, dtype=w.dtype) + s * K + (1.0 - c) * (K @ K)
+    return jnp.eye(3, dtype=w.dtype) + A * K + B * (K @ K)
 
 
 @partial(jax.jit, static_argnames=("k",))

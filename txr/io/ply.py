@@ -144,3 +144,50 @@ def read_ply(path: str):
     if all(k in data for k in ("red", "green", "blue")):
         rgb = np.stack([data["red"], data["green"], data["blue"]], axis=-1) / 255.0
     return xyz, rgb
+
+
+def write_pcd(path: str, xyz: np.ndarray, rgb: np.ndarray | None = None,
+              binary: bool = True) -> None:
+    """Write a PCL .pcd file (reference PointCloudGenerator.save_pcd parity,
+    depth_processor.py:424-450). Fields x y z [rgb packed-float]."""
+    xyz = np.asarray(xyz, np.float32)
+    n = xyz.shape[0]
+    has_color = rgb is not None
+    if has_color:
+        c = np.asarray(rgb)
+        if c.dtype != np.uint8:
+            c = np.clip(np.round(np.asarray(rgb) * 255.0), 0, 255).astype(np.uint8)
+        packed = ((c[:, 0].astype(np.uint32) << 16)
+                  | (c[:, 1].astype(np.uint32) << 8)
+                  | c[:, 2].astype(np.uint32)).view(np.float32)
+
+    fields = "x y z rgb" if has_color else "x y z"
+    sizes = "4 4 4 4" if has_color else "4 4 4"
+    types = "F F F F" if has_color else "F F F"
+    counts = "1 1 1 1" if has_color else "1 1 1"
+    header = (
+        "# .PCD v0.7 - Point Cloud Data file format\n"
+        "VERSION 0.7\n"
+        f"FIELDS {fields}\n"
+        f"SIZE {sizes}\n"
+        f"TYPE {types}\n"
+        f"COUNT {counts}\n"
+        f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS {n}\n"
+        f"DATA {'binary' if binary else 'ascii'}\n"
+    )
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        if binary:
+            if has_color:
+                rec = np.empty((n, 4), np.float32)
+                rec[:, :3] = xyz
+                rec[:, 3] = packed
+                f.write(rec.tobytes())
+            else:
+                f.write(np.ascontiguousarray(xyz).tobytes())
+        else:
+            for i in range(n):
+                row = f"{xyz[i,0]:.6f} {xyz[i,1]:.6f} {xyz[i,2]:.6f}"
+                if has_color:
+                    row += f" {packed[i]:.0f}"
+                f.write((row + "\n").encode("ascii"))

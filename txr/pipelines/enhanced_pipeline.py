@@ -56,13 +56,16 @@ class DepthEnhancedReconstruction:
     def __init__(self, K: np.ndarray, use_depth: bool = True,
                  use_hybrid_features: bool = True, depth_model=None,
                  verbose: bool = True, subsample: int = 4,
-                 voxel_size: float = 0.005):
+                 voxel_size: float = 0.005, use_ba: bool = False,
+                 ba_iterations: int = 15):
         self.K = np.asarray(K, np.float64)
         self.use_depth = use_depth
         self.use_hybrid = use_hybrid_features
         self.verbose = verbose
         self.subsample = subsample
         self.voxel_size = voxel_size
+        self.use_ba = use_ba
+        self.ba_iterations = ba_iterations
 
         self.images: List[np.ndarray] = []
         self.image_names: List[str] = []
@@ -161,7 +164,6 @@ class DepthEnhancedReconstruction:
         self.detect_all_features()
 
         K = jnp.asarray(self.K.astype(np.float32))
-        all_clouds = []
 
         # ---- initialize with pair (0, 1) ---------------------------------
         self._log("\nMatching initial pair...")
@@ -177,9 +179,21 @@ class DepthEnhancedReconstruction:
         R_np, t_np = np.asarray(R), np.asarray(t)
         self.camera_poses = [(np.eye(3, dtype=np.float32), np.zeros(3, np.float32)),
                              (R_np, t_np)]
+        # image index → pose index (views can be skipped)
+        pose_of_image = {0: 0, 1: 1}
+        view_scales = {}
 
-        fx, fy = self.K[0, 0], self.K[1, 1]
-        cx, cy = self.K[0, 2], self.K[1, 2]
+        # BA bookkeeping: sparse world points + their 2-view observations.
+        ba_points: List[np.ndarray] = []
+        ba_obs: List[tuple] = []
+
+        def collect_ba(Xw_np, ok_np, uv_a, uv_b, pose_a, pose_b):
+            base = sum(len(p) for p in ba_points)
+            sel = np.where(ok_np)[0]
+            ba_points.append(Xw_np[sel])
+            for j, s in enumerate(sel):
+                ba_obs.append((pose_a, base + j, uv_a[s]))
+                ba_obs.append((pose_b, base + j, uv_b[s]))
 
         # ---- depth-scale anchor (median sparse_Z / depth) -----------------
         scale = 1.0
@@ -188,16 +202,10 @@ class DepthEnhancedReconstruction:
             s1 = clamp_scale(estimate_scale(X, b, valid, jnp.asarray(self.depths[1])))
             scale = float((s0 + s1) / 2.0)
             self._log(f"Depth scale estimate: {scale:.6f}")
-
-            for i in (0, 1):
-                Ri, ti = self.camera_poses[i]
-                ps = depth_to_pointcloud(self.depths[i], self.images[i], Ri, ti,
-                                         fx, fy, cx, cy, scale=scale,
-                                         subsample=self.subsample,
-                                         min_depth=0.1, max_depth=100.0)
-                xyz, rgb = ps.to_numpy()
-                all_clouds.append((xyz, rgb))
-                self._log(f"Camera {i}: {len(xyz)} dense points")
+        view_scales[0] = view_scales[1] = scale
+        if self.use_ba:
+            collect_ba(np.asarray(X), np.asarray(valid),
+                       np.asarray(a), np.asarray(b), 0, 1)
 
         # ---- incremental views (reference :1171-1238) ---------------------
         for i in range(2, len(self.images)):
@@ -213,24 +221,58 @@ class DepthEnhancedReconstruction:
                 self._log("  Skipping - insufficient inliers")
                 continue
             R_prev, t_prev = self.camera_poses[-1]
+            prev_pose_idx = len(self.camera_poses) - 1
             R_curr = np.asarray(R_rel) @ R_prev
             t_curr = np.asarray(R_rel) @ t_prev + np.asarray(t_rel)
             self.camera_poses.append((R_curr, t_curr))
+            pose_of_image[i] = len(self.camera_poses) - 1
 
+            Xw, ok = sparse_to_world(Xs, vs, jnp.asarray(R_prev),
+                                     jnp.asarray(t_prev))
             if self.use_depth and self.depths[i] is not None:
-                Xw, ok = sparse_to_world(Xs, vs, jnp.asarray(R_prev),
-                                         jnp.asarray(t_prev))
                 if int(jnp.sum(ok)) >= 3:
                     s_i = float(clamp_scale(estimate_scale(
                         Xw, b, ok, jnp.asarray(self.depths[i]))))
                     scale = 0.7 * scale + 0.3 * s_i
-                ps = depth_to_pointcloud(self.depths[i], self.images[i],
-                                         R_curr, t_curr, fx, fy, cx, cy,
-                                         scale=scale, subsample=self.subsample,
+                view_scales[i] = scale
+                self._log(f"  Camera {i}: pose chained (scale {scale:.4f})")
+            if self.use_ba:
+                collect_ba(np.asarray(Xw), np.asarray(ok),
+                           np.asarray(a), np.asarray(b),
+                           prev_pose_idx, pose_of_image[i])
+
+        # ---- bundle adjustment (the reference declares BA but never runs
+        # it — depth_enhanced_reconstruction.py:45-50; ours does) ------------
+        if self.use_ba and ba_points and sum(len(p) for p in ba_points) >= 10:
+            from txr.geometry.bundle_adjustment import build_problem, bundle_adjust
+
+            Xall = np.concatenate(ba_points).astype(np.float32)
+            prob = build_problem(self.camera_poses, Xall, ba_obs)
+            Rba, tba, _, hist = bundle_adjust(
+                prob, K, iterations=self.ba_iterations)
+            self._log(f"\nBundle adjustment: reprojection RMS "
+                      f"{float(hist[0]):.3f} -> {float(hist[-1]):.3f} px "
+                      f"({len(Xall)} points, {len(ba_obs)} observations)")
+            self.camera_poses = [(np.asarray(Rba[i]), np.asarray(tba[i]))
+                                 for i in range(len(self.camera_poses))]
+
+        # ---- dense clouds at the (possibly refined) poses ------------------
+        fx, fy = self.K[0, 0], self.K[1, 1]
+        cx, cy = self.K[0, 2], self.K[1, 2]
+        all_clouds = []
+        if self.use_depth:
+            for i, pose_idx in pose_of_image.items():
+                if self.depths[i] is None:
+                    continue
+                Ri, ti = self.camera_poses[pose_idx]
+                ps = depth_to_pointcloud(self.depths[i], self.images[i], Ri, ti,
+                                         fx, fy, cx, cy,
+                                         scale=view_scales.get(i, scale),
+                                         subsample=self.subsample,
                                          min_depth=0.1, max_depth=100.0)
                 xyz, rgb = ps.to_numpy()
                 all_clouds.append((xyz, rgb))
-                self._log(f"  Camera {i}: {len(xyz)} dense points (scale {scale:.4f})")
+                self._log(f"Camera {i}: {len(xyz)} dense points")
 
         if not all_clouds:
             self._log("No clouds generated (depth disabled?) — nothing to merge")

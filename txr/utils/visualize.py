@@ -71,3 +71,9 @@ def visualize_reconstruction(
     fig = go.Figure(data=traces)
     fig.update_layout(title=title, scene=dict(aspectmode="data"))
     fig.show()
+
+
+def visualize_with_plotly(points, colors=None, poses=None,
+                          title: str = "3D Reconstruction"):
+    """Reference-named alias (depth_to_reconstruction.py:706-767)."""
+    visualize_reconstruction(points, colors, poses, title)
