@@ -85,10 +85,21 @@ class Attention(nn.Module):
         b, s, d = x.shape
         head_dim = d // c.num_heads
         qkv = nn.Dense(3 * d, name="qkv")(x)  # one fused MXU matmul
-        qkv = qkv.reshape(b, s, 3, c.num_heads, head_dim)
-        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
-        o = multi_head_attention(q, k, v, kv_len=kv_len, use_flash=c.use_flash)
-        o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
+
+        use_flash = c.use_flash
+        if use_flash is None:
+            use_flash = jax.default_backend() not in ("cpu",)
+        if use_flash and c.num_heads % 2 == 0:
+            # Transpose-free path: the Pallas kernel reads the fused qkv
+            # layout directly (no (B,S,H,D)↔(B,H,S,D) relayouts at all).
+            from txr.ops.attention import fused_attention
+
+            o = fused_attention(qkv, c.num_heads, head_dim, kv_len)
+        else:
+            parts = qkv.reshape(b, s, 3, c.num_heads, head_dim)
+            q, k, v = (parts[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+            o = multi_head_attention(q, k, v, kv_len=kv_len, use_flash=use_flash)
+            o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
         return nn.Dense(d, name="proj")(o)
 
 

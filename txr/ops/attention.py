@@ -123,6 +123,117 @@ def attention_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(b, h, sq, d)[:, :, :s, :]
 
 
+def _fused_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, block_k: int,
+                  sm_scale: float, d: int):
+    """Two heads per program, reading the fused (B, S, 3*H*D) qkv directly."""
+    q2 = q_ref[0]                       # (block_q, 2d)
+    sk = k_ref.shape[1]
+    num_k = sk // block_k
+    bq = q2.shape[0]
+    outs = []
+    for hh in (0, 1):
+        q = q2[:, hh * d:(hh + 1) * d]
+
+        def body(i, carry):
+            acc, m_prev, l_prev = carry
+            k = k_ref[0, pl.ds(i * block_k, block_k), hh * d:(hh + 1) * d]
+            v = v_ref[0, pl.ds(i * block_k, block_k), hh * d:(hh + 1) * d]
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * sm_scale
+            kidx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
+            s = jnp.where(kidx < kv_len, s, _NEG_INF)
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jnp.dot(p.astype(v.dtype), v,
+                                        preferred_element_type=jnp.float32)
+            return acc, m_new, l_new
+
+        acc0 = jnp.zeros((bq, d), jnp.float32)
+        m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((bq, 1), jnp.float32)
+        acc, _, l = jax.lax.fori_loop(0, num_k, body, (acc0, m0, l0))
+        outs.append(acc / jnp.maximum(l, 1e-30))
+    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "head_dim", "kv_len",
+                                    "block_q", "block_k"))
+def attention_flash_fused(qkv: jnp.ndarray, num_heads: int, head_dim: int,
+                          kv_len: int | None = None,
+                          block_q: int = 512, block_k: int = 512) -> jnp.ndarray:
+    """Transpose-free flash attention on the fused qkv projection.
+
+    qkv: (B, S, 3*H*D) straight from the qkv Dense (component-major q|k|v) —
+    no (B,S,H,D)→(B,H,S,D) relayouts anywhere; each program handles a PAIR of
+    heads so blocks are 128 channels wide (TPU lane tiling). Requires an even
+    head count (all DINOv2 presets qualify). Returns (B, S, H*D), ready for
+    the output projection.
+    """
+    b, s, c = qkv.shape
+    h, d = num_heads, head_dim
+    assert c == 3 * h * d and h % 2 == 0
+    if kv_len is None:
+        kv_len = s
+    rem = (-s) % max(block_q, block_k)
+    if rem:
+        qkv = jnp.pad(qkv, ((0, 0), (0, rem), (0, 0)))
+    sp = qkv.shape[1]
+    hp = h // 2
+    grid = (b, hp, sp // block_q)
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, kv_len=kv_len, block_k=block_k,
+                          sm_scale=d ** -0.5, d=d),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, 2 * d),
+                         lambda bi, hi, qi: (bi, qi, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, 2 * d),
+                         lambda bi, hi, qi: (bi, 0, hp + hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, 2 * d),
+                         lambda bi, hi, qi: (bi, 0, 2 * hp + hi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, 2 * d),
+                               lambda bi, hi, qi: (bi, qi, hi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, sp, h * d), qkv.dtype),
+    )(qkv, qkv, qkv)
+    return out[:, :s]
+
+
+def _fused_reference(qkv, num_heads, head_dim, kv_len=None):
+    """XLA reference with identical (B,S,3HD)→(B,S,HD) contract."""
+    b, s, _ = qkv.shape
+    h, d = num_heads, head_dim
+    parts = qkv.reshape(b, s, 3, h, d)
+    q, k, v = (parts[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    o = attention_xla(q, k, v, kv_len=kv_len)
+    return o.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def fused_attention(qkv, num_heads, head_dim, kv_len=None):
+    return attention_flash_fused(qkv, num_heads, head_dim, kv_len=kv_len)
+
+
+def _fused_fwd(qkv, num_heads, head_dim, kv_len):
+    return attention_flash_fused(qkv, num_heads, head_dim, kv_len=kv_len), qkv
+
+
+def _fused_bwd(num_heads, head_dim, kv_len, qkv, g):
+    _, vjp = jax.vjp(lambda x: _fused_reference(x, num_heads, head_dim, kv_len),
+                     qkv)
+    return vjp(g)
+
+
+fused_attention.defvjp(_fused_fwd, _fused_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash_with_vjp(q, k, v, kv_len):
     return attention_flash(q, k, v, kv_len=kv_len)
