@@ -51,10 +51,14 @@ def make_hf_pair(metric=False, hidden=32, layers=4, heads=2, img=56,
     )
     torch.manual_seed(seed)
     tm = DepthAnythingForDepthEstimation(cfg).eval()
-    # Randomize weights beyond the init (layer_scale lambdas default to 1.0 etc.)
+    # Randomize weights well beyond the init so forward outputs have O(1)
+    # variance — a weak perturbation once let a ConvTranspose kernel-flip bug
+    # hide under the comparison tolerance.
     with torch.no_grad():
         for p in tm.parameters():
-            p.add_(torch.randn_like(p) * 0.02)
+            p.add_(torch.randn_like(p) * 0.1)
+        # Keep the relative head's final ReLU from saturating to all-zeros.
+        tm.head.conv3.bias.add_(1.0)
 
     vit = ViTConfig(
         hidden_size=hidden, num_layers=layers, num_heads=heads, patch_size=14,
@@ -106,6 +110,7 @@ class TestHFParity:
             ref = tm(torch.from_numpy(x).permute(0, 3, 1, 2)).predicted_depth.numpy()
         got = np.asarray(fm.apply({"params": params}, jnp.asarray(x)))
         assert got.shape == ref.shape
+        assert ref.std() > 1e-2, "degenerate reference output — test is vacuous"
         np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
 
     def test_pos_embed_interpolation_matches_hf(self, rng):

@@ -51,11 +51,17 @@ def estimate_scale(
       scalar scale; 1.0 on insufficient data (reference fallback).
     """
     h, w = depth_map.shape
-    u = jnp.clip(jnp.round(sparse_uv[:, 0]).astype(jnp.int32), 0, w - 1)
-    v = jnp.clip(jnp.round(sparse_uv[:, 1]).astype(jnp.int32), 0, h - 1)
+    u_raw = jnp.round(sparse_uv[:, 0]).astype(jnp.int32)
+    v_raw = jnp.round(sparse_uv[:, 1]).astype(jnp.int32)
+    # Out-of-image projections are EXCLUDED (reference
+    # depth_enhanced_reconstruction.py:679-688), not clamped to the border.
+    in_image = (u_raw >= 0) & (u_raw < w) & (v_raw >= 0) & (v_raw < h)
+    u = jnp.clip(u_raw, 0, w - 1)
+    v = jnp.clip(v_raw, 0, h - 1)
     d = depth_map[v, u]
     z = sparse_xyz_cam[:, 2]
-    valid = sparse_mask & (d > 1e-6) & (z > 0) & jnp.isfinite(d) & jnp.isfinite(z)
+    valid = (sparse_mask & in_image & (d > 1e-6) & (z > 0)
+             & jnp.isfinite(d) & jnp.isfinite(z))
     ratio = jnp.where(valid, z / jnp.maximum(d, 1e-6), 0.0)
     med = masked_median(ratio, valid)
     n_in = jnp.sum(sparse_mask.astype(jnp.int32))

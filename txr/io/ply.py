@@ -189,5 +189,7 @@ def write_pcd(path: str, xyz: np.ndarray, rgb: np.ndarray | None = None,
             for i in range(n):
                 row = f"{xyz[i,0]:.6f} {xyz[i,1]:.6f} {xyz[i,2]:.6f}"
                 if has_color:
-                    row += f" {packed[i]:.0f}"
+                    # Packed-rgb floats live in the denormal range; emit full
+                    # precision so parsers round-trip the bit pattern.
+                    row += f" {packed[i]:.8e}"
                 f.write((row + "\n").encode("ascii"))

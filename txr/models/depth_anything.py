@@ -256,7 +256,6 @@ class DepthEstimator:
         return self.model.infer(bgr)
 
     def estimate_batch(self, images) -> list:
-        arr = np.stack(images)
         if len({im.shape for im in images}) == 1:
-            return list(self.model.infer_batch(arr))
+            return list(self.model.infer_batch(np.stack(images)))
         return [self.model.infer(im) for im in images]

@@ -45,7 +45,9 @@ VIT_PRESETS = {
     "vits": ViTConfig(384, 12, 6, out_layers=(2, 5, 8, 11)),
     "vitb": ViTConfig(768, 12, 12, out_layers=(2, 5, 8, 11)),
     "vitl": ViTConfig(1024, 24, 16, out_layers=(4, 11, 17, 23)),
-    "vitg": ViTConfig(1536, 40, 24, mlp_ratio=4096 / 1536, use_swiglu=True,
+    # DINOv2-giant: mlp_ratio 4 with the SwiGLU 2/3-round-to-8 reduction
+    # gives the checkpoint hidden size round8(1536*4*2/3) = 4096.
+    "vitg": ViTConfig(1536, 40, 24, mlp_ratio=4.0, use_swiglu=True,
                       out_layers=(9, 19, 29, 39)),
 }
 

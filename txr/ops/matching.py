@@ -55,9 +55,11 @@ def match_l2_ratio(
     neg_top2, idx_top2 = jax.lax.top_k(-d2, 2)  # (N1, 2)
     best = -neg_top2[:, 0]
     second = -neg_top2[:, 1]
-    # Lowe ratio on distances (not squared): d1 < ratio * d2.
+    # Lowe ratio on distances (not squared): d1 < ratio * d2. A pair with no
+    # valid second neighbor is dropped (OpenCV knnMatch(k=2) semantics) —
+    # otherwise the sentinel second distance trivially passes the test.
     ok = jnp.sqrt(best) < ratio * jnp.sqrt(jnp.maximum(second, 1e-20))
-    ok = ok & mask1 & (best < 1.0e37)
+    ok = ok & mask1 & (best < 1.0e37) & (second < 1.0e37)
     return idx_top2[:, 0], ok
 
 
@@ -86,7 +88,7 @@ def match_hamming_ratio(
     best = -neg_top2[:, 0]
     second = -neg_top2[:, 1]
     ok = best < ratio * jnp.maximum(second, 1e-6)
-    ok = ok & mask1 & (best < 1.0e37)
+    ok = ok & mask1 & (best < 1.0e37) & (second < 1.0e37)
     return idx_top2[:, 0], ok
 
 

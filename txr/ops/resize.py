@@ -4,8 +4,10 @@ The DPT head and pos-embed interpolation in Depth Anything use
 torch.nn.functional.interpolate with specific align_corners settings, which
 jax.image.resize cannot express (it is fixed to half-pixel centers /
 align_corners=False-with-antialias-off differences). For checkpoint parity we
-implement gather-based bilinear and bicubic resize with both conventions.
-All ops are jit-friendly (static output sizes) and batched over leading dims.
+implement bilinear and bicubic resize with both conventions, expressed as
+dense interpolation-matrix matmuls so large activations ride the MXU instead
+of TPU-slow gathers. All ops are jit-friendly (static output sizes) and
+batched over leading dims.
 
 Layout: NHWC (TPU-native).
 """
@@ -31,25 +33,6 @@ def _source_coords(out_size: int, in_size: int, align_corners: bool) -> jnp.ndar
     return (i + 0.5) * scale - 0.5
 
 
-def _gather_axis(x: jnp.ndarray, idx: jnp.ndarray, axis: int) -> jnp.ndarray:
-    return jnp.take(x, idx, axis=axis)
-
-
-def _linear_1d(x: jnp.ndarray, out_size: int, axis: int, align_corners: bool) -> jnp.ndarray:
-    in_size = x.shape[axis]
-    src = _source_coords(out_size, in_size, align_corners)
-    base = jnp.floor(src)
-    w = src - base  # fractional weight from the unclamped floor
-    lo = jnp.clip(base.astype(jnp.int32), 0, in_size - 1)
-    hi = jnp.clip(base.astype(jnp.int32) + 1, 0, in_size - 1)
-    shape = [1] * x.ndim
-    shape[axis] = out_size
-    w = w.reshape(shape)
-    a = _gather_axis(x, lo, axis)
-    b = _gather_axis(x, hi, axis)
-    return a * (1.0 - w) + b * w
-
-
 def _cubic_kernel(t: jnp.ndarray, a: float = -0.75) -> jnp.ndarray:
     """Cubic convolution weights for the 4 taps around fractional offset t.
 
@@ -61,23 +44,6 @@ def _cubic_kernel(t: jnp.ndarray, a: float = -0.75) -> jnp.ndarray:
     w_near = (a + 2.0) * absd ** 3 - (a + 3.0) * absd ** 2 + 1.0
     w_far = a * absd ** 3 - 5.0 * a * absd ** 2 + 8.0 * a * absd - 4.0 * a
     return jnp.where(absd <= 1.0, w_near, jnp.where(absd < 2.0, w_far, 0.0))
-
-
-def _cubic_1d(x: jnp.ndarray, out_size: int, axis: int, align_corners: bool) -> jnp.ndarray:
-    in_size = x.shape[axis]
-    src = _source_coords(out_size, in_size, align_corners)
-    base = jnp.floor(src).astype(jnp.int32)
-    t = src - base.astype(jnp.float32)
-    weights = _cubic_kernel(t)  # (out, 4)
-    out = None
-    for tap in range(4):
-        idx = jnp.clip(base + tap - 1, 0, in_size - 1)
-        g = _gather_axis(x, idx, axis)
-        shape = [1] * x.ndim
-        shape[axis] = out_size
-        w = weights[:, tap].reshape(shape)
-        out = g * w if out is None else out + g * w
-    return out
 
 
 def _linear_matrix(out_size: int, in_size: int, align_corners: bool) -> jnp.ndarray:
@@ -131,6 +97,9 @@ def resize_bilinear(x: jnp.ndarray, height: int, width: int,
     Mw = _linear_matrix(width, x.shape[w_axis], align_corners)
     y = _apply_axis_matrix(x.astype(jnp.float32), Mh, h_axis)
     y = _apply_axis_matrix(y, Mw, w_axis)
+    # Preserve floating input dtype (bf16 activations stay bf16 mid-network).
+    if jnp.issubdtype(dt, jnp.floating):
+        y = y.astype(dt)
     return y
 
 
@@ -175,16 +144,3 @@ def compute_da_resize(h: int, w: int, target: int = 518, multiple: int = 14,
             constrain_to_multiple_of(s * w, multiple, min_val=target))
 
 
-@partial(jax.jit, static_argnames=("height", "width"))
-def preprocess_image(rgb: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
-    """uint8 RGB (H, W, 3) → normalized float32 (1, height, width, 3).
-
-    /255, bicubic resize (half-pixel, matching cv2.resize INTER_CUBIC used by
-    DA's transform), ImageNet normalize.
-    """
-    x = rgb.astype(jnp.float32) / 255.0
-    x = resize_bicubic(x, height, width, align_corners=False)
-    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
-    std = jnp.asarray(IMAGENET_STD, jnp.float32)
-    x = (x - mean) / std
-    return x[None]

@@ -105,7 +105,10 @@ class StreamingReconstructor:
         )
         scale_i = None
         if not self.metric_depth and int(jnp.sum(valid)) >= 5:
-            s = clamp_scale(estimate_scale(X, jnp.asarray(uv2), valid,
+            # X is in the previous camera's frame; depth_curr pairs with the
+            # CURRENT frame's pixels, so transform first.
+            X_curr = X @ R.T + t
+            s = clamp_scale(estimate_scale(X_curr, jnp.asarray(uv2), valid,
                                            jnp.asarray(depth_curr)))
             scale_i = float(s)
         return np.asarray(R), np.asarray(t), int(n_inl), scale_i
@@ -118,8 +121,12 @@ class StreamingReconstructor:
         src = PointSet(points_world.xyz[:: max(1, points_world.capacity // self.icp_sample)][: self.icp_sample],
                        points_world.rgb[:: max(1, points_world.capacity // self.icp_sample)][: self.icp_sample],
                        points_world.mask[:: max(1, points_world.capacity // self.icp_sample)][: self.icp_sample])
+        # Strided subsample — the sorted map is ordered by voxel key, so a
+        # prefix slice would be one spatial corner of the scene.
         tcap = min(self.icp_sample * 4, map_pts.capacity)
-        tgt = PointSet(map_pts.xyz[:tcap], map_pts.rgb[:tcap], map_pts.mask[:tcap])
+        tstep = max(1, map_pts.capacity // tcap)
+        tgt = PointSet(map_pts.xyz[::tstep][:tcap], map_pts.rgb[::tstep][:tcap],
+                       map_pts.mask[::tstep][:tcap])
         if int(tgt.count()) < 100 or int(src.count()) < 100:
             return R_w2c, t_w2c, None
         normals = estimate_normals(tgt.xyz, tgt.mask, k=8)
