@@ -61,6 +61,11 @@ class SIFTDetector:
     Defaults follow the fusion pipeline's textureless-tuned settings
     (reference depth_to_reconstruction.py:133-153): 8000 features,
     contrastThreshold 0.01, edgeThreshold 15, CLAHE(2.0, 8x8).
+
+    backend: 'cv2' rides OpenCV's C++ kernels (the reference's substrate;
+    bit-identical behavior), 'device' runs the TPU-native XLA implementation
+    (txr.ops.sift + txr.ops.clahe — SURVEY §2.8 item 3), 'auto' prefers cv2
+    when installed.
     """
 
     def __init__(
@@ -70,17 +75,35 @@ class SIFTDetector:
         edge_threshold: float = 15,
         use_clahe: bool = True,
         capacity: int = 8192,
+        backend: str = "auto",
     ):
-        self.sift = cv2.SIFT_create(
-            nfeatures=n_features,
-            contrastThreshold=contrast_threshold,
-            edgeThreshold=edge_threshold,
-        )
-        self.clahe = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8)) if use_clahe else None
+        if backend == "auto":
+            backend = "cv2" if CV2_AVAILABLE else "device"
+        self.backend = backend
+        self.use_clahe = use_clahe
+        self.contrast_threshold = contrast_threshold
+        self.edge_threshold = edge_threshold
         self.capacity = capacity
+        if backend == "cv2":
+            self.sift = cv2.SIFT_create(
+                nfeatures=n_features,
+                contrastThreshold=contrast_threshold,
+                edgeThreshold=edge_threshold,
+            )
+            self.clahe = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8)) if use_clahe else None
+
+    def _to_gray(self, bgr: np.ndarray) -> np.ndarray:
+        if bgr.ndim != 3:
+            return bgr
+        if CV2_AVAILABLE:
+            return cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY)
+        b, g, r = bgr[..., 0], bgr[..., 1], bgr[..., 2]
+        return (0.114 * b + 0.587 * g + 0.299 * r).astype(bgr.dtype)
 
     def detect(self, bgr: np.ndarray) -> Features:
-        gray = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY) if bgr.ndim == 3 else bgr
+        gray = self._to_gray(bgr)
+        if self.backend == "device":
+            return self._detect_device(gray)
         if self.clahe is not None:
             gray = self.clahe.apply(gray)
         kps, desc = self.sift.detectAndCompute(gray, None)
@@ -90,17 +113,54 @@ class SIFTDetector:
         uv = np.array([kp.pt for kp in kps], np.float32)
         return _pad_features(uv, desc.astype(np.float32), self.capacity, "sift")
 
+    def _detect_device(self, gray: np.ndarray) -> Features:
+        from txr.ops.sift import sift_features
+        if self.use_clahe:
+            from txr.ops.clahe import clahe as clahe_op
+            g8 = gray if gray.dtype == np.uint8 else np.clip(gray, 0, 255).astype(np.uint8)
+            gray = np.asarray(clahe_op(jnp.asarray(g8)))
+        f = sift_features(
+            gray, capacity=self.capacity,
+            contrast_threshold=self.contrast_threshold,
+            edge_threshold=float(self.edge_threshold),
+        )
+        return Features(np.asarray(f.uv), np.asarray(f.desc),
+                        np.asarray(f.mask), "sift")
+
 
 class ORBDetector:
     """ORB detector (reference depth_enhanced_reconstruction.py:197-199:
-    2000 features, 8 levels)."""
+    2000 features, 8 levels).
 
-    def __init__(self, n_features: int = 2000, n_levels: int = 8, capacity: int = 2048):
-        self.orb = cv2.ORB_create(nfeatures=n_features, nlevels=n_levels)
+    backend: 'cv2' (OpenCV C++), 'device' (TPU-native txr.ops.orb — SURVEY
+    §2.8 item 4), or 'auto'. Descriptors from the two backends use different
+    BRIEF patterns and must not be cross-matched.
+    """
+
+    def __init__(self, n_features: int = 2000, n_levels: int = 8,
+                 capacity: int = 2048, backend: str = "auto"):
+        if backend == "auto":
+            backend = "cv2" if CV2_AVAILABLE else "device"
+        self.backend = backend
+        self.n_levels = n_levels
         self.capacity = capacity
+        if backend == "cv2":
+            self.orb = cv2.ORB_create(nfeatures=n_features, nlevels=n_levels)
 
     def detect(self, bgr: np.ndarray) -> Features:
-        gray = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY) if bgr.ndim == 3 else bgr
+        if bgr.ndim == 3:
+            if CV2_AVAILABLE:
+                gray = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY)
+            else:
+                gray = (0.114 * bgr[..., 0] + 0.587 * bgr[..., 1]
+                        + 0.299 * bgr[..., 2]).astype(bgr.dtype)
+        else:
+            gray = bgr
+        if self.backend == "device":
+            from txr.ops.orb import orb_features
+            f = orb_features(gray, capacity=self.capacity, n_levels=self.n_levels)
+            return Features(np.asarray(f.uv), np.asarray(f.desc),
+                            np.asarray(f.mask), "orb")
         kps, desc = self.orb.detectAndCompute(gray, None)
         if desc is None or len(kps) == 0:
             return _pad_features(np.zeros((0, 2), np.float32), np.zeros((0, 32), np.uint8),
