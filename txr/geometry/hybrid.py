@@ -20,8 +20,11 @@ import numpy as np
 
 try:
     import cv2
+
+    CV2_AVAILABLE = True
 except ImportError:  # pragma: no cover
     cv2 = None
+    CV2_AVAILABLE = False
 
 import jax.numpy as jnp
 
@@ -39,23 +42,32 @@ class HybridFeatures:
 
 
 class HybridFeatureDetector:
-    """SIFT(3000, 0.02) + ORB(2000, 8 levels) + LSD lines + Canny(50,150)."""
+    """SIFT(3000, 0.02) + ORB(2000, 8 levels) + LSD lines + Canny(50,150).
+
+    backend: 'cv2' rides OpenCV C++ (the reference's substrate), 'device'
+    runs every stage as XLA ops (txr.ops.{sift,orb,lsd,canny} — SURVEY §2.8
+    items 3-7), 'auto' prefers cv2 when installed.
+    """
 
     def __init__(self, use_sift: bool = True, use_orb: bool = True,
                  use_lines: bool = True, use_edges: bool = True,
                  sift_capacity: int = 3072, orb_capacity: int = 2048,
-                 verbose: bool = True):
+                 verbose: bool = True, backend: str = "auto"):
+        if backend == "auto":
+            backend = "cv2" if CV2_AVAILABLE else "device"
+        self.backend = backend
         self.use_sift = use_sift
         self.use_orb = use_orb
         self.use_lines = use_lines
         self.use_edges = use_edges
         self.verbose = verbose
-        if use_sift:
-            self.sift = cv2.SIFT_create(nfeatures=3000, contrastThreshold=0.02)
-        if use_orb:
-            self.orb = cv2.ORB_create(nfeatures=2000, scaleFactor=1.2, nlevels=8)
-        if use_lines:
-            self.lsd = cv2.createLineSegmentDetector(cv2.LSD_REFINE_STD)
+        if backend == "cv2":
+            if use_sift:
+                self.sift = cv2.SIFT_create(nfeatures=3000, contrastThreshold=0.02)
+            if use_orb:
+                self.orb = cv2.ORB_create(nfeatures=2000, scaleFactor=1.2, nlevels=8)
+            if use_lines:
+                self.lsd = cv2.createLineSegmentDetector(cv2.LSD_REFINE_STD)
         self.sift_capacity = sift_capacity
         self.orb_capacity = orb_capacity
 
@@ -64,7 +76,16 @@ class HybridFeatureDetector:
             print(msg)
 
     def detect(self, image: np.ndarray) -> HybridFeatures:
-        gray = cv2.cvtColor(image, cv2.COLOR_BGR2GRAY) if image.ndim == 3 else image
+        if image.ndim == 3:
+            if CV2_AVAILABLE:
+                gray = cv2.cvtColor(image, cv2.COLOR_BGR2GRAY)
+            else:
+                gray = (0.114 * image[..., 0] + 0.587 * image[..., 1]
+                        + 0.299 * image[..., 2]).astype(np.uint8)
+        else:
+            gray = image
+        if self.backend == "device":
+            return self._detect_device(gray)
         sift = orb = None
         lines = edges = None
         if self.use_sift:
@@ -86,6 +107,34 @@ class HybridFeatureDetector:
             self._log(f"  Lines: {len(lines)} segments")
         if self.use_edges:
             edges = cv2.Canny(gray, 50, 150)
+            self._log(f"  Edge points: {int((edges > 0).sum())}")
+        return HybridFeatures(sift=sift, orb=orb, lines=lines, edges=edges, gray=gray)
+
+    def _detect_device(self, gray: np.ndarray) -> HybridFeatures:
+        """All four stages as XLA programs on the accelerator."""
+        sift = orb = None
+        lines = edges = None
+        if self.use_sift:
+            from txr.ops.sift import sift_features
+            f = sift_features(gray, capacity=self.sift_capacity,
+                              contrast_threshold=0.02)
+            sift = Features(np.asarray(f.uv), np.asarray(f.desc),
+                            np.asarray(f.mask), "sift")
+            self._log(f"  SIFT: {sift.count} keypoints")
+        if self.use_orb:
+            from txr.ops.orb import orb_features
+            f = orb_features(gray, capacity=self.orb_capacity, n_levels=8)
+            orb = Features(np.asarray(f.uv), np.asarray(f.desc),
+                           np.asarray(f.mask), "orb")
+            self._log(f"  ORB: {orb.count} keypoints")
+        if self.use_lines:
+            from txr.ops.lsd import lsd_lines
+            out = lsd_lines(gray)
+            lines = np.asarray(out.lines)[np.asarray(out.mask)]
+            self._log(f"  Lines: {len(lines)} segments")
+        if self.use_edges:
+            from txr.ops.canny import canny
+            edges = np.asarray(canny(jnp.asarray(gray)))
             self._log(f"  Edge points: {int((edges > 0).sum())}")
         return HybridFeatures(sift=sift, orb=orb, lines=lines, edges=edges, gray=gray)
 
