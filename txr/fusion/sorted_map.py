@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from txr.core.types import PointSet
-from txr.ops.segment import INT_MAX, sorted_voxel_reduce
+from txr.ops.segment import (INT_MAX, sorted_segment_reduce_at_ends,
+                             sorted_voxel_reduce)
 
 
 class SortedVoxelMap(NamedTuple):
@@ -71,6 +72,59 @@ def sorted_map_insert(vm: SortedVoxelMap, points: PointSet) -> SortedVoxelMap:
         jnp.concatenate([vm.count, pm.astype(jnp.float32)]),
     )
     okx, oky, okz, sums, is_seg = sorted_voxel_reduce(kx, ky, kz, cols, capacity=cap)
+    sx, sy, sz, sr, sg, sb, cnt = sums
+    occupied = is_seg & (cnt > 0.0)
+    return SortedVoxelMap(
+        kx=jnp.where(occupied, okx, INT_MAX),
+        ky=jnp.where(occupied, oky, INT_MAX),
+        kz=jnp.where(occupied, okz, INT_MAX),
+        sum_xyz=jnp.where(occupied[:, None], jnp.stack([sx, sy, sz], axis=1), 0.0),
+        sum_rgb=jnp.where(occupied[:, None], jnp.stack([sr, sg, sb], axis=1), 0.0),
+        count=jnp.where(occupied, cnt, 0.0),
+        voxel_size=vm.voxel_size,
+    )
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def sorted_map_insert_fast(vm: SortedVoxelMap, points: PointSet) -> SortedVoxelMap:
+    """Throughput-mode insert: ~2.1x faster than sorted_map_insert (174 vs
+    364 ms at 2M-map + 8.3M-batch on v5e) by skipping the compaction sort +
+    gathers — segment totals are emitted in place at segment-end rows
+    (txr.ops.segment.sorted_segment_reduce_at_ends) and the resulting INT_MAX
+    holes re-sort to the tail on the next insert.
+
+    Tradeoff: a segment whose end row falls beyond the first `capacity`
+    sorted rows is dropped, so duplicate-heavy batches waste row budget —
+    EXACT while (map segments + batch rows that land below the cut) fit in
+    capacity; degrades by dropping highest-key voxels earlier than
+    sorted_map_insert under saturation (measured 457k vs 1.5M retained on the
+    adversarial random-frame bench). Use for per-frame streaming where the
+    batch is small relative to free capacity; use sorted_map_insert when
+    output fidelity is the contract (bench, PLY export paths).
+    """
+    cap = vm.kx.shape[0]
+    coords = jnp.floor(points.xyz / vm.voxel_size).astype(jnp.int32)
+    pm = points.mask
+    bx = jnp.where(pm, coords[:, 0], INT_MAX)
+    by = jnp.where(pm, coords[:, 1], INT_MAX)
+    bz = jnp.where(pm, coords[:, 2], INT_MAX)
+    bxyz = jnp.where(pm[:, None], points.xyz, 0.0)
+    brgb = jnp.where(pm[:, None], points.rgb, 0.0)
+
+    kx = jnp.concatenate([vm.kx, bx])
+    ky = jnp.concatenate([vm.ky, by])
+    kz = jnp.concatenate([vm.kz, bz])
+    cols = (
+        jnp.concatenate([vm.sum_xyz[:, 0], bxyz[:, 0]]),
+        jnp.concatenate([vm.sum_xyz[:, 1], bxyz[:, 1]]),
+        jnp.concatenate([vm.sum_xyz[:, 2], bxyz[:, 2]]),
+        jnp.concatenate([vm.sum_rgb[:, 0], brgb[:, 0]]),
+        jnp.concatenate([vm.sum_rgb[:, 1], brgb[:, 1]]),
+        jnp.concatenate([vm.sum_rgb[:, 2], brgb[:, 2]]),
+        jnp.concatenate([vm.count, pm.astype(jnp.float32)]),
+    )
+    okx, oky, okz, sums, is_seg = sorted_segment_reduce_at_ends(
+        kx, ky, kz, cols, capacity=cap)
     sx, sy, sz, sr, sg, sb, cnt = sums
     occupied = is_seg & (cnt > 0.0)
     return SortedVoxelMap(
