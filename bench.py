@@ -46,8 +46,8 @@ def main():
     from txr.ops.resize import (IMAGENET_MEAN, IMAGENET_STD, compute_da_resize,
                                 resize_bicubic, resize_bilinear)
     from txr.ops.backproject import backproject_world
-    from txr.fusion.sorted_map import (create_sorted_map, sorted_map_insert,
-                                       sorted_map_size)
+    from txr.fusion.packed_map import (create_packed_map, packed_map_insert,
+                                       packed_map_size)
 
     encoder = os.environ.get("TXR_BENCH_ENCODER", "vitl")
     batch = int(os.environ.get("TXR_BENCH_BATCH", "16"))
@@ -89,7 +89,7 @@ def main():
         n = ps.xyz.shape[0] * ps.xyz.shape[1]
         flat = PointSet(ps.xyz.reshape(n, 3), ps.rgb.reshape(n, 3),
                         ps.mask.reshape(n))
-        return sorted_map_insert(vm, flat)
+        return packed_map_insert(vm, flat)
 
     # Pre-stage input batches on device (decode/H2D overlaps compute in the
     # deployed pipeline; the tunnel's ~150 MB/s relay would otherwise be the
@@ -99,19 +99,19 @@ def main():
                                               dtype=np.uint8))
                   for _ in range(2)]
 
-    vmap_state = create_sorted_map(1 << 21, 0.01)
+    vmap_state = create_packed_map(1 << 21, 0.01)
 
     # Warm-up / compile.
     t0 = time.time()
     vmap_state = step(params, dev_frames[0], vmap_state)
-    _ = int(sorted_map_size(vmap_state))
+    _ = int(packed_map_size(vmap_state))
     log(f"compile+warmup: {time.time() - t0:.1f}s")
 
     # Timed loop (device-resident; one sync at the end).
     t0 = time.perf_counter()
     for i in range(n_batches):
         vmap_state = step(params, dev_frames[i % 2], vmap_state)
-    n_voxels = int(sorted_map_size(vmap_state))  # forces full sync
+    n_voxels = int(packed_map_size(vmap_state))  # forces full sync
     dt = time.perf_counter() - t0
 
     frames = batch * n_batches

@@ -1,0 +1,230 @@
+"""Packed-column sorted voxel map — the column-diet variant of sorted_map.
+
+lax.sort cost on this hardware scales with OPERAND COUNT (measured on v5e at
+10.4M rows: 3key+7col 147 ms, 1key+10col 160 ms, 1key+1col 63 ms), so the
+insert's dominant sort gets a packed layout:
+
+  keys: 3 int32 voxel coords -> 2 int32, split by lexicographic significance
+        (coords clamped to +/-131071 cells = +/-1.3 km at 1 cm voxels):
+        full 54-bit index = (ox << 36) | (oy << 18) | oz with o* = k* + 2^17;
+        hi = bits [53:22] (sign-flipped for signed compare), lo = bits [21:0].
+  rgb+count: 4 f32 accumulator columns -> 2 int32: (bf16(r)<<16|bf16(g)) and
+        (bf16(b)<<16|weight_u16). bf16 color sums cost ~0.4% relative error
+        per accumulation chain — invisible in 8-bit color. xyz sums stay f32
+        (CLAUDE.md: bf16 position payloads are a measured dead end).
+
+Weight decay keeps the u16 weight exact forever: whenever a voxel's weight
+exceeds 2^15, weight AND all sums are scaled by the power of two that brings
+it back under — a pure mantissa-preserving operation, so the running means
+are unchanged. The map thus stores bounded "decayed weights" rather than raw
+counts (reference parity note: the reference's Open3D voxel_down_sample also
+only exposes means, not counts — depth_to_reconstruction.py:413-415).
+
+Sort column count: 2 keys + 3 xyz + 2 packed = 7 versus sorted_map's 10.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from txr.core.types import PointSet
+from txr.ops.segment import INT_MAX
+
+_HALF_RANGE = 1 << 17  # 2^17 cells per semi-axis
+_SIGN = jnp.int32(-2147483648)  # 0x80000000 as int32
+
+
+def pack_keys(kx, ky, kz, valid):
+    """(kx, ky, kz) int32 -> (hi, lo) int32, order-preserving; invalid rows
+    get (INT_MAX, INT_MAX)."""
+    ox = jnp.clip(kx, -_HALF_RANGE + 1, _HALF_RANGE - 1) + _HALF_RANGE
+    oy = jnp.clip(ky, -_HALF_RANGE + 1, _HALF_RANGE - 1) + _HALF_RANGE
+    oz = jnp.clip(kz, -_HALF_RANGE + 1, _HALF_RANGE - 1) + _HALF_RANGE
+    ox = ox.astype(jnp.uint32)
+    oy = oy.astype(jnp.uint32)
+    oz = oz.astype(jnp.uint32)
+    hi_u = (ox << 14) | (oy >> 4)           # 18 + 14 = 32 bits
+    lo_u = ((oy & 15) << 18) | oz           # 4 + 18 = 22 bits
+    hi = (hi_u ^ jnp.uint32(0x80000000)).astype(jnp.int32)  # unsigned order
+    lo = lo_u.astype(jnp.int32)
+    hi = jnp.where(valid, hi, INT_MAX)
+    lo = jnp.where(valid, lo, INT_MAX)
+    return hi, lo
+
+
+def unpack_keys(hi, lo):
+    """(hi, lo) -> (kx, ky, kz); only meaningful on valid rows."""
+    hi_u = jax.lax.bitcast_convert_type(hi ^ _SIGN, jnp.uint32)
+    lo_u = jax.lax.bitcast_convert_type(lo, jnp.uint32)
+    ox = (hi_u >> 14).astype(jnp.int32)
+    oy = (((hi_u & 0x3FFF) << 4) | (lo_u >> 18)).astype(jnp.int32)
+    oz = (lo_u & 0x3FFFF).astype(jnp.int32)
+    return ox - _HALF_RANGE, oy - _HALF_RANGE, oz - _HALF_RANGE
+
+
+def _bf16_bits(x):
+    """f32 -> round-to-nearest bf16 bit pattern as uint32 (low 16 bits)."""
+    b = jax.lax.bitcast_convert_type(
+        x.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    return b
+
+
+def _bits_bf16(u16):
+    return jax.lax.bitcast_convert_type(
+        u16.astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
+
+
+def pack_rgbw(r, g, b, w):
+    """Four f32 columns -> two int32: (r|g), (b|w). w must be in [0, 65535]
+    and integral."""
+    p1 = (_bf16_bits(r) << 16) | _bf16_bits(g)
+    p2 = (_bf16_bits(b) << 16) | jnp.clip(w, 0, 65535).astype(jnp.uint32)
+    return p1.astype(jnp.int32), p2.astype(jnp.int32)
+
+
+def unpack_rgbw(p1, p2):
+    u1 = p1.astype(jnp.uint32)
+    u2 = p2.astype(jnp.uint32)
+    r = _bits_bf16(u1 >> 16)
+    g = _bits_bf16(u1 & 0xFFFF)
+    b = _bits_bf16(u2 >> 16)
+    w = (u2 & 0xFFFF).astype(jnp.float32)
+    return r, g, b, w
+
+
+class PackedVoxelMap(NamedTuple):
+    khi: jnp.ndarray      # (C,) int32 packed key (INT_MAX = empty)
+    klo: jnp.ndarray      # (C,) int32
+    sum_xyz: jnp.ndarray  # (C, 3) float32 position accumulators
+    rgbw: jnp.ndarray     # (C, 2) int32 packed bf16 rgb sums + u16 weight
+    voxel_size: jnp.ndarray
+
+    @property
+    def kx(self):
+        return unpack_keys(self.khi, self.klo)[0]
+
+    @property
+    def ky(self):
+        return unpack_keys(self.khi, self.klo)[1]
+
+    @property
+    def kz(self):
+        return unpack_keys(self.khi, self.klo)[2]
+
+    @property
+    def count(self):
+        return unpack_rgbw(self.rgbw[:, 0], self.rgbw[:, 1])[3]
+
+
+def create_packed_map(capacity: int, voxel_size: float) -> PackedVoxelMap:
+    return PackedVoxelMap(
+        khi=jnp.full((capacity,), INT_MAX, jnp.int32),
+        klo=jnp.full((capacity,), INT_MAX, jnp.int32),
+        sum_xyz=jnp.zeros((capacity, 3), jnp.float32),
+        rgbw=jnp.zeros((capacity, 2), jnp.int32),
+        voxel_size=jnp.asarray(voxel_size, jnp.float32),
+    )
+
+
+def _hier_cumsum(x: jnp.ndarray, radix: int = 512) -> jnp.ndarray:
+    """Hierarchical cumsum along axis 0 of (N, D): one small-axis cumsum per
+    level instead of XLA's flat log-step sweep (44 vs 52-63 ms at 10.4M x 7,
+    measured)."""
+    n = x.shape[0]
+    if n <= radix:
+        return jnp.cumsum(x, axis=0)
+    npad = -(-n // radix) * radix
+    xp = jnp.pad(x, ((0, npad - n), (0, 0)))
+    b = xp.reshape(npad // radix, radix, x.shape[1])
+    within = jnp.cumsum(b, axis=1)
+    prefix = _hier_cumsum(within[:, -1], radix)
+    prefix = prefix - within[:, -1]  # exclusive
+    return (within + prefix[:, None, :]).reshape(npad, x.shape[1])[:n]
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def packed_map_insert(vm: PackedVoxelMap, points: PointSet) -> PackedVoxelMap:
+    cap = vm.khi.shape[0]
+    coords = jnp.floor(points.xyz / vm.voxel_size).astype(jnp.int32)
+    pm = points.mask
+    bhi, blo = pack_keys(coords[:, 0], coords[:, 1], coords[:, 2], pm)
+    bxyz = jnp.where(pm[:, None], points.xyz, 0.0)
+    w = pm.astype(jnp.float32)
+    bp1, bp2 = pack_rgbw(jnp.where(pm, points.rgb[:, 0], 0.0),
+                         jnp.where(pm, points.rgb[:, 1], 0.0),
+                         jnp.where(pm, points.rgb[:, 2], 0.0), w)
+
+    khi = jnp.concatenate([vm.khi, bhi])
+    klo = jnp.concatenate([vm.klo, blo])
+    cols = (
+        khi, klo,
+        jnp.concatenate([vm.sum_xyz[:, 0], bxyz[:, 0]]),
+        jnp.concatenate([vm.sum_xyz[:, 1], bxyz[:, 1]]),
+        jnp.concatenate([vm.sum_xyz[:, 2], bxyz[:, 2]]),
+        jnp.concatenate([vm.rgbw[:, 0], bp1]),
+        jnp.concatenate([vm.rgbw[:, 1], bp2]),
+    )
+    n = khi.shape[0]
+    s = jax.lax.sort(cols, num_keys=2)
+    skhi, sklo = s[0], s[1]
+    r, g, b, wgt = unpack_rgbw(s[5], s[6])
+    scols = jnp.stack([s[2], s[3], s[4], r, g, b, wgt], axis=1)
+
+    last = ((skhi != jnp.roll(skhi, -1)) | (sklo != jnp.roll(sklo, -1))
+            ).at[n - 1].set(True)
+    csum = _hier_cumsum(scols)
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    order = jnp.where(last, pos, jnp.int32(n))
+    _, perm = jax.lax.sort((order, pos), num_keys=1)
+    perm_c = perm[:cap]
+    is_seg = order[perm_c] < n
+
+    ends = csum[perm_c]
+    prev = jnp.concatenate([jnp.zeros((1, 7), ends.dtype), ends[:-1]], axis=0)
+    sums = jnp.where(is_seg[:, None], ends - prev, 0.0)
+
+    okhi = jnp.where(is_seg, skhi[perm_c], INT_MAX)
+    oklo = jnp.where(is_seg, sklo[perm_c], INT_MAX)
+    wgt = sums[:, 6]
+    occupied = is_seg & (wgt > 0.0) & (okhi != INT_MAX)
+
+    # Power-of-two weight decay: mantissas (and therefore means) unchanged.
+    over = jnp.maximum(wgt / 32768.0, 1.0)
+    scale = jnp.exp2(-jnp.ceil(jnp.log2(over)))
+    sums = sums * scale[:, None]
+    wgt = jnp.round(sums[:, 6])
+
+    p1, p2 = pack_rgbw(sums[:, 3], sums[:, 4], sums[:, 5], wgt)
+    zero2 = jnp.zeros((), jnp.int32)
+    return PackedVoxelMap(
+        khi=jnp.where(occupied, okhi, INT_MAX),
+        klo=jnp.where(occupied, oklo, INT_MAX),
+        sum_xyz=jnp.where(occupied[:, None], sums[:, 0:3], 0.0),
+        rgbw=jnp.where(occupied[:, None],
+                       jnp.stack([p1, p2], axis=1), zero2),
+        voxel_size=vm.voxel_size,
+    )
+
+
+@jax.jit
+def packed_map_points(vm: PackedVoxelMap) -> PointSet:
+    r, g, b, w = unpack_rgbw(vm.rgbw[:, 0], vm.rgbw[:, 1])
+    occ = w > 0
+    denom = jnp.maximum(w, 1.0)[:, None]
+    rgb = jnp.stack([r, g, b], axis=1)
+    return PointSet(
+        xyz=jnp.where(occ[:, None], vm.sum_xyz / denom, 0.0),
+        rgb=jnp.where(occ[:, None], rgb / denom, 0.0),
+        mask=occ,
+    )
+
+
+@jax.jit
+def packed_map_size(vm: PackedVoxelMap) -> jnp.ndarray:
+    w = (vm.rgbw[:, 1].astype(jnp.uint32) & 0xFFFF)
+    return jnp.sum((w > 0).astype(jnp.int32))
