@@ -56,3 +56,46 @@ class TestGridKNN:
             per_cell=4, chunk=4))
         assert d[0] == pytest.approx(0.0, abs=1e-6)
         assert d[2] == pytest.approx(0.1, abs=1e-4)
+
+
+class TestAutoCell:
+    def test_auto_cell_matches_manual_quality(self):
+        """Auto-tuned cell must agree with brute-force kNN on which points
+        are outliers (the round-1 gap: hand-picked cells that were much
+        smaller than the spacing truncated every neighborhood)."""
+        import jax.numpy as jnp
+
+        from txr.core.types import PointSet
+        from txr.ops.grid_knn import auto_cell
+        from txr.ops.outlier import (remove_statistical_outliers,
+                                     remove_statistical_outliers_grid)
+
+        rng = np.random.default_rng(11)
+        pts = rng.uniform(0, 1, (3000, 3)).astype(np.float32)
+        pts[:20] += 5.0  # far outliers
+        ps = PointSet(jnp.asarray(pts), jnp.zeros((3000, 3), jnp.float32),
+                      jnp.ones(3000, bool))
+        cell = float(auto_cell(ps.xyz, ps.mask, k=20, per_cell=8))
+        spacing = (1.0 / 3000) ** (1 / 3)
+        assert 0.5 * spacing < cell < 10 * spacing
+
+        exact = remove_statistical_outliers(ps, nb_neighbors=20,
+                                            std_ratio=2.0)
+        grid = remove_statistical_outliers_grid(ps, None, nb_neighbors=20,
+                                                std_ratio=2.0)
+        me = np.asarray(exact.mask)
+        mg = np.asarray(grid.mask)
+        # outliers must all be gone in both; overall agreement high
+        assert not me[:20].any() and not mg[:20].any()
+        assert (me == mg).mean() > 0.97
+
+    def test_auto_cell_degenerate_planar(self):
+        import jax.numpy as jnp
+
+        from txr.ops.grid_knn import auto_cell
+
+        rng = np.random.default_rng(12)
+        pts = rng.uniform(0, 1, (1000, 3)).astype(np.float32)
+        pts[:, 2] = 0.0  # planar
+        c = float(auto_cell(jnp.asarray(pts), jnp.ones(1000, bool)))
+        assert np.isfinite(c) and c > 0

@@ -14,8 +14,10 @@ This variant is the TPU equivalent of Open3D's KD-tree queries
 
 Approximate only in the tail: points whose true k-th neighbor lies beyond the
 27-cell neighborhood (or past `per_cell` occupancy) see a truncated
-neighborhood. With cell ≥ voxel*3 after voxel downsampling this is rare, and
-for outlier *removal* the bias is conservative (sparse points look farther).
+neighborhood; the missing neighbors are charged 2*cell each, so the bias is
+conservative (sparse points look farther, never closer). `auto_cell` picks
+the cell size from the data's bounding box and count so dense regions hit
+their full k.
 """
 
 from __future__ import annotations
@@ -28,6 +30,30 @@ import jax.numpy as jnp
 _BIG = jnp.float32(3.0e38)
 _BITS = 10
 _GRID = 1 << _BITS  # cells per axis
+
+
+@partial(jax.jit, static_argnames=("k", "per_cell"))
+def auto_cell(xyz: jnp.ndarray, mask: jnp.ndarray, k: int = 20,
+              per_cell: int = 8) -> jnp.ndarray:
+    """Data-driven grid cell size for grid_knn_mean_distance.
+
+    Targets an expected occupancy tau per cell such that the 27-cell
+    neighborhood holds ~3k candidates without exceeding the per_cell gather
+    cap: tau = min(0.6*per_cell, k/9, >=1). cell = spacing * tau^(1/3) with
+    spacing estimated from the bounding-box volume (planar clouds
+    underestimate spacing, which truncates neighborhoods conservatively —
+    outlier removal then only gets stricter, never looser). Clamped so the
+    longest bbox edge still fits the 1024-cell grid.
+    """
+    big = jnp.float32(3.0e38)
+    lo = jnp.min(jnp.where(mask[:, None], xyz, big), axis=0)
+    hi = jnp.max(jnp.where(mask[:, None], xyz, -big), axis=0)
+    ext = jnp.maximum(hi - lo, 1e-9)
+    cnt = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+    spacing = jnp.cbrt(ext[0] * ext[1] * ext[2] / cnt)
+    tau = jnp.maximum(jnp.minimum(0.6 * per_cell, k / 9.0), 1.0)
+    cell = spacing * jnp.cbrt(tau)
+    return jnp.maximum(cell, jnp.max(ext) / (_GRID - 2))
 
 
 @partial(jax.jit, static_argnames=("k", "per_cell", "chunk"))
@@ -105,10 +131,15 @@ def grid_knn_mean_distance(
         neg_top, _ = jax.lax.top_k(-d2, k)
         nn_d = jnp.sqrt(jnp.maximum(-neg_top, 0.0))
         valid_nn = (-neg_top) < 1.0e37
-        cnt = jnp.maximum(jnp.sum(valid_nn, axis=-1), 1)
-        mean_d = jnp.sum(jnp.where(valid_nn, nn_d, 0.0), axis=-1) / cnt
+        cnt = jnp.sum(valid_nn.astype(jnp.int32), axis=-1)
+        # Neighbors missing from the truncated 27-cell window lie at least a
+        # cell away; charge them 2*cell so sparse points read FARTHER, never
+        # closer (averaging only the found neighbors under-estimated isolated
+        # points' distances and let planted outlier clusters survive).
+        found_sum = jnp.sum(jnp.where(valid_nn, nn_d, 0.0), axis=-1)
+        mean_d = (found_sum + (k - cnt).astype(jnp.float32) * 2.0 * cell) / k
         # Points with no neighbors found at all are extreme outliers.
-        mean_d = jnp.where(jnp.any(valid_nn, axis=-1), mean_d, _BIG / 2)
+        mean_d = jnp.where(cnt > 0, mean_d, _BIG / 2)
         return None, jnp.where(qm, mean_d, _BIG)
 
     _, out = jax.lax.scan(body, None, jnp.arange(num_chunks))

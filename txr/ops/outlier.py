@@ -90,14 +90,19 @@ def remove_statistical_outliers(
 
 @partial(jax.jit, static_argnames=("nb_neighbors", "per_cell", "chunk"))
 def remove_statistical_outliers_grid(
-    points: PointSet, cell: float, nb_neighbors: int = 20,
+    points: PointSet, cell: float | jnp.ndarray | None = None,
+    nb_neighbors: int = 20,
     std_ratio: float = 2.0, per_cell: int = 8, chunk: int = 65536,
 ) -> PointSet:
     """Grid-accelerated variant for multi-million-point clouds (the TPU
     equivalent of Open3D's KD-tree path). `cell` ≈ 2.5x the point spacing
-    (e.g. 2.5 * voxel_size after voxel downsampling)."""
-    from txr.ops.grid_knn import grid_knn_mean_distance
+    (e.g. 2.5 * voxel_size after voxel downsampling); None auto-tunes from
+    the data's bounding box and count (txr.ops.grid_knn.auto_cell)."""
+    from txr.ops.grid_knn import auto_cell, grid_knn_mean_distance
 
+    if cell is None:
+        cell = auto_cell(points.xyz, points.mask, k=nb_neighbors,
+                         per_cell=per_cell)
     mean_d = grid_knn_mean_distance(points.xyz, points.mask, cell,
                                     k=nb_neighbors, per_cell=per_cell,
                                     chunk=chunk)
