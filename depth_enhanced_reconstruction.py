@@ -33,6 +33,10 @@ def main():
     parser.add_argument('--ba', action='store_true',
                         help='Refine poses with bundle adjustment (extends the '
                              'reference, which declares BA but never runs it)')
+    parser.add_argument('--device-features', action='store_true',
+                        help='Run SIFT/ORB/LSD/Canny as XLA ops on the '
+                             'accelerator instead of host OpenCV (extends the '
+                             'reference; same detectors, TPU-native kernels)')
 
     args = parser.parse_args()
 
@@ -50,6 +54,7 @@ def main():
         use_depth=not args.no_depth,
         use_hybrid_features=not args.no_hybrid,
         use_ba=args.ba,
+        feature_backend="device" if args.device_features else "auto",
     )
 
     num_images = reconstructor.load_images(args.input)

@@ -35,6 +35,9 @@ def main():
     parser.add_argument('--voxel-size', type=float, default=0.005)
     parser.add_argument('--subsample', type=int, default=2)
     parser.add_argument('--no-vis', action='store_true')
+    parser.add_argument('--device-features', action='store_true',
+                        help='Run SIFT detection as XLA ops on the accelerator '
+                             'instead of host OpenCV (extends the reference)')
 
     args = parser.parse_args()
 
@@ -45,7 +48,9 @@ def main():
         subsample_factor=args.subsample,
     )
 
-    pipeline = DepthToReconstructionPipeline(config)
+    pipeline = DepthToReconstructionPipeline(
+        config,
+        feature_backend="device" if args.device_features else "auto")
 
     num_loaded = pipeline.load_data(args.rgb_folder, args.depth_folder)
     if num_loaded < 2:

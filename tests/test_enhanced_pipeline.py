@@ -129,7 +129,14 @@ class TestEnhancedEndToEnd:
                                           use_hybrid_features=True, verbose=False)
         assert rec.load_images(str(folder)) == 3
         result = rec.reconstruct(output_dir=str(tmp_path / "out"))
-        assert result is None  # no depth → no dense clouds (reference behavior)
+        # Reference behavior: with depth disabled the SPARSE pair-0 points
+        # still come out (depth_enhanced_reconstruction.py:1155-1165 falls
+        # back to self.points_3d). The earlier revision returned None here.
+        assert result is not None
+        points, colors, poses = result
+        assert len(points) > 10
+        assert colors.shape == points.shape
+        assert len(poses) == 3
         assert len(rec.camera_poses) >= 2
 
     def test_reconstruct_with_synthetic_depth_model(self, tmp_path):

@@ -57,7 +57,7 @@ class DepthEnhancedReconstruction:
                  use_hybrid_features: bool = True, depth_model=None,
                  verbose: bool = True, subsample: int = 4,
                  voxel_size: float = 0.005, use_ba: bool = False,
-                 ba_iterations: int = 15):
+                 ba_iterations: int = 15, feature_backend: str = "auto"):
         self.K = np.asarray(K, np.float64)
         self.use_depth = use_depth
         self.use_hybrid = use_hybrid_features
@@ -72,10 +72,13 @@ class DepthEnhancedReconstruction:
         self.depths: List[Optional[np.ndarray]] = []
         self.features: List = []
         self.camera_poses: List[Tuple[np.ndarray, np.ndarray]] = []
+        self.sparse_points = np.zeros((0, 3), np.float32)
+        self.sparse_colors = np.zeros((0, 3), np.float32)
 
         self.detector = HybridFeatureDetector(
             use_orb=use_hybrid_features, use_lines=use_hybrid_features,
-            use_edges=use_hybrid_features, verbose=verbose)
+            use_edges=use_hybrid_features, verbose=verbose,
+            backend=feature_backend)
         self.depth_matcher = DepthGuidedMatcher()
         self._depth_model = depth_model
         self._key = jax.random.PRNGKey(0)
@@ -207,6 +210,22 @@ class DepthEnhancedReconstruction:
             collect_ba(np.asarray(X), np.asarray(valid),
                        np.asarray(a), np.asarray(b), 0, 1)
 
+        # Sparse reconstruction from the initial pair, colors sampled at the
+        # image-0 keypoints (reference stores these and ALWAYS includes them
+        # in the final cloud — depth_enhanced_reconstruction.py:1108-1165).
+        v_np = np.asarray(valid)
+        sp_xyz = np.asarray(X)[v_np]
+        uv0 = np.clip(np.asarray(a)[v_np].astype(np.int32), 0,
+                      [self.images[0].shape[1] - 1,
+                       self.images[0].shape[0] - 1])
+        sp_bgr = self.images[0][uv0[:, 1], uv0[:, 0]].astype(np.float32)
+        if sp_bgr.ndim == 1:  # grayscale source
+            sp_rgb = np.repeat(sp_bgr[:, None], 3, axis=1)
+        else:
+            sp_rgb = sp_bgr[:, ::-1]  # BGR -> RGB
+        self.sparse_points = sp_xyz
+        self.sparse_colors = sp_rgb
+
         # ---- incremental views (reference :1171-1238) ---------------------
         for i in range(2, len(self.images)):
             self._log(f"\nProcessing image {i}...")
@@ -274,8 +293,14 @@ class DepthEnhancedReconstruction:
                 all_clouds.append((xyz, rgb))
                 self._log(f"Camera {i}: {len(xyz)} dense points")
 
+        # The sparse pair-0 points always ride along (reference :1155-1165
+        # vstacks them with the dense merge, and falls back to sparse-only
+        # when depth is disabled or produced nothing).
+        if len(self.sparse_points):
+            all_clouds.append((self.sparse_points.astype(np.float32),
+                               self.sparse_colors.astype(np.float32)))
         if not all_clouds:
-            self._log("No clouds generated (depth disabled?) — nothing to merge")
+            self._log("No sparse or dense points — nothing to merge")
             return None
 
         # ---- merge (voxel only — reference :1149 has no outlier pass) -----

@@ -105,9 +105,11 @@ class DepthToReconstructionPipeline:
     """RGB + precomputed depth → fused PLY (reference CLI #1)."""
 
     def __init__(self, config: Optional[ReconstructionConfig] = None,
-                 feature_capacity: int = 8192, verbose: bool = True):
+                 feature_capacity: int = 8192, verbose: bool = True,
+                 feature_backend: str = "auto"):
         self.config = config or ReconstructionConfig()
-        self.detector = SIFTDetector(capacity=feature_capacity)
+        self.detector = SIFTDetector(capacity=feature_capacity,
+                                     backend=feature_backend)
         self.verbose = verbose
         self.images: List[np.ndarray] = []
         self.depths: List[np.ndarray] = []
