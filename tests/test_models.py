@@ -93,6 +93,24 @@ class TestResizeParity:
             mode="bicubic", align_corners=align).permute(0, 2, 3, 1).numpy()
         np.testing.assert_allclose(got, t, rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("align", [True, False])
+    def test_strided_matches_full_then_slice(self, rng, align):
+        from txr.ops.resize import resize_bilinear_strided
+        x = rng.normal(size=(2, 9, 13, 1)).astype(np.float32)
+        full = np.asarray(resize_bilinear(jnp.asarray(x), 27, 40,
+                                          align_corners=align))
+        got = np.asarray(resize_bilinear_strided(
+            jnp.asarray(x), 27, 40, align_corners=align,
+            row_stride=2, col_stride=2))
+        np.testing.assert_allclose(got, full[:, ::2, ::2], rtol=1e-6, atol=1e-6)
+
+    def test_bf16_path_close_to_f32(self, rng):
+        x = rng.normal(size=(1, 7, 9, 4)).astype(np.float32)
+        f32 = np.asarray(resize_bilinear(jnp.asarray(x), 15, 21))
+        bf = np.asarray(resize_bilinear(
+            jnp.asarray(x).astype(jnp.bfloat16), 15, 21).astype(jnp.float32))
+        np.testing.assert_allclose(bf, f32, rtol=0.03, atol=0.03)
+
     def test_da_resize_shapes(self):
         # 640x480 at target 518 lower-bound → short side ≥ 518, multiples of 14.
         h, w = compute_da_resize(480, 640, 518)

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Attention kernel micro-bench + parity on the real chip at bench shapes."""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+from txr.ops.attention import attention_flash_fused, _fused_reference
+
+
+def sync(x):
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
+def main():
+    B, S, H, D = 16, 2443, 16, 64
+    key = jax.random.PRNGKey(0)
+    qkv = (jax.random.normal(key, (B, S, 3 * H * D), jnp.float32)
+           * 0.5).astype(jnp.bfloat16)
+
+    # parity vs XLA reference on a small slice (f32 for a tight bound)
+    small = qkv[:2, :300].astype(jnp.float32)
+    ref = _fused_reference(small, H, D)
+    new = attention_flash_fused(small, H, D)            # 1-pass path
+    old = attention_flash_fused(small, H, D, block_k=256)  # streaming path
+    err_new = float(jnp.max(jnp.abs(new - ref)))
+    err_old = float(jnp.max(jnp.abs(old - ref)))
+    err_xx = float(jnp.max(jnp.abs(new - old)))
+    print(f"parity max|err| 1pass={err_new:.2e} streaming={err_old:.2e} "
+          f"1pass-vs-streaming={err_xx:.2e}")
+    # vs the previously-shipped streaming kernel: must agree tightly; the
+    # shared ~3.5e-4 offset vs XLA is MXU f32 rounding, present before.
+    assert err_xx < 1e-3, err_xx  # summation-order level
+    assert err_new < 1e-3, err_new
+
+    def run(fn, reps=20, name=""):
+        o = fn()
+        sync(o)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            o = fn()
+        sync(o)
+        dt = (time.perf_counter() - t0) / reps * 1000
+        print(f"{name:30s} {dt:7.2f} ms/layer-batch  x24 = {dt*24:6.1f} ms")
+        return dt
+
+    run(lambda: attention_flash_fused(qkv, H, D), name="1pass bq512")
+    run(lambda: attention_flash_fused(qkv, H, D, block_q=1024),
+        name="1pass bq1024")
+    run(lambda: attention_flash_fused(qkv, H, D, block_k=2560),
+        name="streaming full-K (old default)")
+
+
+if __name__ == "__main__":
+    main()

@@ -158,6 +158,41 @@ def _fused_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, block_k: int,
     o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
 
+def _fused_kernel_1pass(q_ref, k_ref, v_ref, o_ref, *, pad_count: int,
+                        sm_scale: float, d: int):
+    """Two heads per program, full-K single pass, zero-pad normalizer trick.
+
+    K/V are zero-padded to the block length. A zero K row gives logit exactly
+    0 for every query, so instead of masking the (block_q, S) score matrix
+    (3 VPU passes: iota, compare, select), the pad columns' softmax mass is
+    removed analytically from the normalizer: l -= pad_count * exp(-m).
+    No online-softmax carries either — max/exp/sum run once per program.
+    (Caveat: if every VALID logit is below ~-80 the pad mass dominates and
+    the output degrades to 0; scaled ViT logits never approach that.)
+    """
+    q2 = q_ref[0]                       # (block_q, 2d)
+    bq = q2.shape[0]
+    # exp(s*scale - m) == exp2(s*scale*log2e - m'): fold log2e into the q
+    # pre-scale so the inner loop uses the single-op exp2.
+    c = sm_scale * 1.4426950408889634
+    outs = []
+    for hh in (0, 1):
+        q = (q2[:, hh * d:(hh + 1) * d].astype(jnp.float32)
+             * c).astype(q2.dtype)
+        k = k_ref[0, :, hh * d:(hh + 1) * d]
+        v = v_ref[0, :, hh * d:(hh + 1) * d]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)          # (bq, 1) f32
+        p = jnp.exp2(s - m).astype(v.dtype)             # (bq, S) bf16
+        # normalizer from the bf16 p (half the read bandwidth); f32 accum
+        l = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+        if pad_count:
+            l = l - pad_count * jnp.exp2(-m)
+        acc = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        outs.append(acc / jnp.maximum(l, 1e-30))
+    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("num_heads", "head_dim", "kv_len",
                                     "block_q", "block_k"))
@@ -182,17 +217,26 @@ def attention_flash_fused(qkv: jnp.ndarray, num_heads: int, head_dim: int,
     if rem:
         qkv = jnp.pad(qkv, ((0, 0), (0, rem), (0, 0)))
     sp = qkv.shape[1]
-    if block_k is None:
-        # Full-K single pass: at ViT sequence lengths the whole K/V pair fits
-        # in VMEM, and dropping the online-softmax streaming loop is 14%
-        # faster than 512-wide K blocks (10.2 vs 11.9 ms/layer at B16 S2443,
-        # measured on v5e).
-        block_k = sp
     hp = h // 2
     grid = (b, hp, sp // block_q)
+    if block_k is None and kv_len == s:
+        # Full-K single pass: at ViT sequence lengths the whole K/V pair fits
+        # in VMEM. Dropping the online-softmax streaming loop and replacing
+        # the pad mask with the zero-pad normalizer correction (see
+        # _fused_kernel_1pass) cuts the kernel's VPU passes roughly in half.
+        # Requires K rows past kv_len to be exactly zero — true for the
+        # jnp.pad above, NOT for caller-truncated kv_len < s, hence the guard.
+        kernel = functools.partial(_fused_kernel_1pass,
+                                   pad_count=sp - kv_len,
+                                   sm_scale=d ** -0.5, d=d)
+    elif block_k is None:
+        kernel = functools.partial(_fused_kernel, kv_len=kv_len, block_k=sp,
+                                   sm_scale=d ** -0.5, d=d)
+    else:
+        kernel = functools.partial(_fused_kernel, kv_len=kv_len,
+                                   block_k=block_k, sm_scale=d ** -0.5, d=d)
     out = pl.pallas_call(
-        functools.partial(_fused_kernel, kv_len=kv_len, block_k=block_k,
-                          sm_scale=d ** -0.5, d=d),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, 2 * d),

@@ -46,9 +46,9 @@ def _cubic_kernel(t: jnp.ndarray, a: float = -0.75) -> jnp.ndarray:
     return jnp.where(absd <= 1.0, w_near, jnp.where(absd < 2.0, w_far, 0.0))
 
 
-def _linear_matrix(out_size: int, in_size: int, align_corners: bool) -> jnp.ndarray:
-    """(out, in) dense interpolation matrix for 1-D linear resize."""
-    src = _source_coords(out_size, in_size, align_corners)
+def _linear_matrix_from_src(src: jnp.ndarray, in_size: int) -> jnp.ndarray:
+    """(len(src), in) linear interpolation matrix for given source coords."""
+    out_size = src.shape[0]
     base = jnp.floor(src)
     w = src - base
     lo = jnp.clip(base.astype(jnp.int32), 0, in_size - 1)
@@ -58,6 +58,12 @@ def _linear_matrix(out_size: int, in_size: int, align_corners: bool) -> jnp.ndar
     M = M + jnp.where(cols == lo[:, None], (1.0 - w)[:, None], 0.0)
     M = M + jnp.where(cols == hi[:, None], w[:, None], 0.0)
     return M
+
+
+def _linear_matrix(out_size: int, in_size: int, align_corners: bool) -> jnp.ndarray:
+    """(out, in) dense interpolation matrix for 1-D linear resize."""
+    return _linear_matrix_from_src(
+        _source_coords(out_size, in_size, align_corners), in_size)
 
 
 def _cubic_matrix(out_size: int, in_size: int, align_corners: bool) -> jnp.ndarray:
@@ -81,10 +87,17 @@ def _apply_axis_matrix(x: jnp.ndarray, M: jnp.ndarray, axis: int) -> jnp.ndarray
     the MXU, so expressing resize as a (sparse-in-structure, dense-in-layout)
     matrix product is the fast path for large activations.
     """
+    if x.dtype == jnp.bfloat16:
+        # bf16 activations (DPT fusion path) ride the MXU at 2x f32 rate and
+        # halve the materialized intermediate; weights at bf16 are within
+        # interpolation tolerance for bf16 data.
+        M = M.astype(jnp.bfloat16)
+    else:
+        x = x.astype(jnp.float32)
     moved = jnp.moveaxis(x, axis, -1)
     out = jnp.einsum("...i,oi->...o", moved, M,
                      preferred_element_type=jnp.float32)
-    return jnp.moveaxis(out, -1, axis)
+    return jnp.moveaxis(out.astype(x.dtype), -1, axis)
 
 
 @partial(jax.jit, static_argnames=("height", "width", "align_corners"))
@@ -95,9 +108,34 @@ def resize_bilinear(x: jnp.ndarray, height: int, width: int,
     dt = x.dtype
     Mh = _linear_matrix(height, x.shape[h_axis], align_corners)
     Mw = _linear_matrix(width, x.shape[w_axis], align_corners)
-    y = _apply_axis_matrix(x.astype(jnp.float32), Mh, h_axis)
+    y = _apply_axis_matrix(x, Mh, h_axis)
     y = _apply_axis_matrix(y, Mw, w_axis)
     # Preserve floating input dtype (bf16 activations stay bf16 mid-network).
+    if jnp.issubdtype(dt, jnp.floating):
+        y = y.astype(dt)
+    return y
+
+
+@partial(jax.jit, static_argnames=("height", "width", "align_corners",
+                                   "row_stride", "col_stride"))
+def resize_bilinear_strided(x: jnp.ndarray, height: int, width: int,
+                            align_corners: bool = False,
+                            row_stride: int = 1,
+                            col_stride: int = 1) -> jnp.ndarray:
+    """resize_bilinear(x, height, width)[..., ::row_stride, ::col_stride, :]
+    without materializing the full-resolution intermediate.
+
+    The stride is folded into the interpolation matrices, so upsampling depth
+    to 1080p only at the back-projection sample pixels costs 1/(rs*cs) of the
+    full resize (bench hot path: stride-2 point generation)."""
+    h_axis, w_axis = x.ndim - 3, x.ndim - 2
+    dt = x.dtype
+    src_h = _source_coords(height, x.shape[h_axis], align_corners)[::row_stride]
+    src_w = _source_coords(width, x.shape[w_axis], align_corners)[::col_stride]
+    Mh = _linear_matrix_from_src(src_h, x.shape[h_axis])
+    Mw = _linear_matrix_from_src(src_w, x.shape[w_axis])
+    y = _apply_axis_matrix(x, Mh, h_axis)
+    y = _apply_axis_matrix(y, Mw, w_axis)
     if jnp.issubdtype(dt, jnp.floating):
         y = y.astype(dt)
     return y
@@ -110,7 +148,7 @@ def resize_bicubic(x: jnp.ndarray, height: int, width: int,
     h_axis, w_axis = x.ndim - 3, x.ndim - 2
     Mh = _cubic_matrix(height, x.shape[h_axis], align_corners)
     Mw = _cubic_matrix(width, x.shape[w_axis], align_corners)
-    y = _apply_axis_matrix(x.astype(jnp.float32), Mh, h_axis)
+    y = _apply_axis_matrix(x, Mh, h_axis)
     y = _apply_axis_matrix(y, Mw, w_axis)
     return y
 

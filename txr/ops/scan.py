@@ -105,3 +105,37 @@ def segmented_cumsum_cols(cols: Tuple[jnp.ndarray, ...],
         f = jnp.pad(f, ((0, 0), (0, pad)), constant_values=1.0)
     out = _segscan_tpu(stacked, f, _BLOCK)
     return tuple(out[i, :n] for i in range(d))
+
+
+def matmul_cumsum(x: jnp.ndarray, radix: int = 512) -> jnp.ndarray:
+    """Inclusive column-wise cumsum of (N, D) f32 via MXU matmul-scan.
+
+    A length-`radix` prefix sum is one (rows, radix) @ (radix, radix)
+    upper-triangular-ones matmul — the scan dimension rides the LANE axis at
+    full MXU utilization, versus XLA's log-step cumsum which re-reads the
+    array per step (44-63 ms at 10.4M x 7 on v5e). Per-column matmuls keep
+    the layout contiguous (no transposes); block totals recurse.
+
+    Exactness: f32 matmul accumulation — same error class as sequential f32
+    summation within each radix block.
+    """
+    n, d = x.shape
+    if n <= radix:
+        return jnp.cumsum(x, axis=0)
+    nb = -(-n // radix)
+    npad = nb * radix
+    xp = jnp.pad(x, ((0, npad - n), (0, 0))) if npad != n else x
+    tri = jnp.triu(jnp.ones((radix, radix), jnp.float32))
+    within_cols = []
+    totals = []
+    for c in range(d):
+        xc = xp[:, c].reshape(nb, radix)
+        yc = jax.lax.dot(xc, tri, precision=jax.lax.Precision.HIGHEST)
+        within_cols.append(yc)
+        totals.append(yc[:, -1])
+    prefix = matmul_cumsum(jnp.stack(totals, axis=1), radix)  # (nb, D) incl.
+    prefix = prefix - jnp.stack(totals, axis=1)               # exclusive
+    out = jnp.stack(
+        [(within_cols[c] + prefix[:, c][:, None]).reshape(npad)
+         for c in range(d)], axis=1)
+    return out[:n] if npad != n else out
