@@ -111,6 +111,19 @@ class TestResizeParity:
             jnp.asarray(x).astype(jnp.bfloat16), 15, 21).astype(jnp.float32))
         np.testing.assert_allclose(bf, f32, rtol=0.03, atol=0.03)
 
+    def test_pixel_shuffle_matches_convtranspose(self, rng):
+        import flax.linen as nn
+        from txr.models.dpt import PixelShuffleUp
+        x = jnp.asarray(rng.normal(size=(2, 5, 6, 7)).astype(np.float32))
+        for k in (2, 4):
+            ct = nn.ConvTranspose(9, (k, k), strides=(k, k), padding="VALID")
+            ps = PixelShuffleUp(9, k)
+            p = ct.init(jax.random.PRNGKey(3), x)
+            ref = ct.apply(p, x)
+            got = ps.apply(p, x)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-5)
+
     def test_da_resize_shapes(self):
         # 640x480 at target 518 lower-bound → short side ≥ 518, multiples of 14.
         h, w = compute_da_resize(480, 640, 518)

@@ -23,10 +23,10 @@ sys.path.insert(0, "/root/repo")
 from txr.core.types import PointSet
 from txr.models.depth_anything import build_model
 from txr.ops.resize import (IMAGENET_MEAN, IMAGENET_STD, compute_da_resize,
-                            resize_bicubic, resize_bilinear)
+                            resize_bicubic, resize_bilinear_strided)
 from txr.ops.backproject import backproject_world
-from txr.fusion.packed_map import (create_packed_map, packed_map_insert,
-                                   packed_map_size)
+from txr.fusion.offset_map import (create_offset_map, offset_map_insert,
+                                   offset_map_size)
 
 
 def sync(x):
@@ -90,13 +90,16 @@ def main():
 
     @jax.jit
     def post(depth, frames_u8):
-        depth_full = resize_bilinear(depth[..., None], H, W,
-                                     align_corners=True)[..., 0]
+        depth_s = resize_bilinear_strided(depth[..., None], H, W,
+                                          align_corners=True,
+                                          row_stride=2, col_stride=2)[..., 0]
+        rgb_s = frames_u8[:, ::2, ::2]
 
         def one(depth_i, rgb_i):
             return backproject_world(depth_i, rgb_i, eye, zero_t,
-                                     fx, fy, cx, cy, 1e-4, 1e6, 1.0, 2)
-        ps = jax.vmap(one)(depth_full, frames_u8)
+                                     fx / 2, fy / 2, cx / 2, cy / 2,
+                                     1e-4, 1e6, 1.0, 1)
+        ps = jax.vmap(one)(depth_s, rgb_s)
         n = ps.xyz.shape[0] * ps.xyz.shape[1]
         return PointSet(ps.xyz.reshape(n, 3), ps.rgb.reshape(n, 3),
                         ps.mask.reshape(n))
@@ -108,17 +111,17 @@ def main():
     t_post, flat = timeit(post, depth, frames, name="upsample+backproject")
 
     # insert: state is donated inside packed_map_insert; rebuild each reps
-    vm = create_packed_map(1 << 21, 0.01)
-    vm = packed_map_insert(vm, flat)  # warm state + compile
+    vm = create_offset_map(1 << 21, 0.01)
+    vm = offset_map_insert(vm, flat)  # warm state + compile
     sync(vm.khi)
     reps = 8
     t0 = time.perf_counter()
     for _ in range(reps):
-        vm = packed_map_insert(vm, flat)
+        vm = offset_map_insert(vm, flat)
     sync(vm.khi)
     t_ins = (time.perf_counter() - t0) / reps * 1000
-    print(f"{'packed_map_insert':40s} {t_ins:8.2f} ms")
-    print(f"map voxels: {int(packed_map_size(vm))}")
+    print(f"{'offset_map_insert':40s} {t_ins:8.2f} ms")
+    print(f"map voxels: {int(offset_map_size(vm))}")
 
     tot = t_pre + t_fwd + t_post + t_ins
     print(f"{'TOTAL (sum of stages)':40s} {tot:8.2f} ms  "

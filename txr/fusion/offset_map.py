@@ -1,22 +1,22 @@
-"""Mean-offset packed voxel map — 6 sort operands (vs packed_map's 7).
+"""Mean-offset packed voxel map — 5 sort operands (vs packed_map's 7).
 
 lax.sort cost on v5e scales with operand count (CLAUDE.md measurements), so
-this variant stores per-voxel MEANS as 16-bit fixed point instead of f32
-sums, shrinking the insert's dominant sort to 2 keys + 4 payload columns:
+this variant stores per-voxel MEANS as fixed point instead of f32 sums,
+shrinking the insert's dominant sort to 2 keys + 3 payload columns:
 
   khi, klo : packed 54-bit voxel key (txr.fusion.packed_map.pack_keys)
   oxy      : x<<16 | y — mean position offset within the voxel, u16 each,
              in units of voxel_size/65536 (quantization 0.15 um at 1 cm)
   ozw      : z<<16 | weight — z offset u16 | accumulated weight u16
-  rgb1     : r<<16 | g — mean color, u16 fixed point on [0, 1]
-  rgb2     : b<<16 | 0
+  rgb      : r<<21 | g<<10 | b — mean color, 11/11/10-bit fixed point on
+             [0, 1] (quantization <= 0.25 of an 8-bit gray level)
 
 Numerics: the insert's segment sums accumulate WEIGHTED OFFSETS (off * w,
 bounded by the u16 weight), so cumsum magnitudes are scene-independent —
 unlike raw world positions, whose prefix sums grow with |xyz| and row count.
 Weight saturates at 65535 (the reference's Open3D voxel_down_sample exposes
 only means, not counts — depth_to_reconstruction.py:413-415); re-quantizing
-a stable mean is a fixed point of floor(mean * 65536) with midpoint dequant,
+a stable mean is a fixed point of floor(mean * 2^bits) with midpoint dequant,
 so untouched voxels do not drift across inserts.
 
 Replaces the same Open3D voxel hash downsample as packed_map/sorted_map
@@ -32,18 +32,36 @@ import jax
 import jax.numpy as jnp
 
 from txr.core.types import PointSet
-from txr.fusion.packed_map import pack_keys, unpack_keys, _hier_cumsum
+from txr.fusion.packed_map import pack_keys, unpack_keys
+from txr.ops.scan import matmul_cumsum
 from txr.ops.segment import INT_MAX
 
 
+def _q(x, bits):
+    """[0, 1) float -> fixed point (as uint32)."""
+    scale = float(1 << bits)
+    return jnp.clip(jnp.floor(x * scale), 0, scale - 1).astype(jnp.uint32)
+
+
+def _dq(u, bits):
+    """fixed point -> midpoint dequantized float in (0, 1)."""
+    return (u.astype(jnp.float32) + 0.5) * (1.0 / float(1 << bits))
+
+
 def _q16(x):
-    """[0, 1) float -> u16 fixed point (as uint32)."""
-    return jnp.clip(jnp.floor(x * 65536.0), 0, 65535).astype(jnp.uint32)
+    return _q(x, 16)
 
 
 def _dq16(u):
-    """u16 -> midpoint dequantized float in (0, 1)."""
-    return (u.astype(jnp.float32) + 0.5) * (1.0 / 65536.0)
+    return _dq(u, 16)
+
+
+def _pack_rgb(r, g, b):
+    return (_q(r, 11) << 21) | (_q(g, 11) << 10) | _q(b, 10)
+
+
+def _unpack_rgb(u):
+    return (_dq(u >> 21, 11), _dq((u >> 10) & 0x7FF, 11), _dq(u & 0x3FF, 10))
 
 
 class OffsetVoxelMap(NamedTuple):
@@ -51,7 +69,7 @@ class OffsetVoxelMap(NamedTuple):
     klo: jnp.ndarray   # (C,) int32
     oxy: jnp.ndarray   # (C,) int32 x16|y16 mean offset
     ozw: jnp.ndarray   # (C,) int32 z16|w16
-    rgb: jnp.ndarray   # (C, 2) int32 (r16|g16, b16|0) mean color
+    rgb: jnp.ndarray   # (C,) int32 r11|g11|b10 mean color
     voxel_size: jnp.ndarray
 
     @property
@@ -65,7 +83,7 @@ def create_offset_map(capacity: int, voxel_size: float) -> OffsetVoxelMap:
         klo=jnp.full((capacity,), INT_MAX, jnp.int32),
         oxy=jnp.zeros((capacity,), jnp.int32),
         ozw=jnp.zeros((capacity,), jnp.int32),
-        rgb=jnp.zeros((capacity, 2), jnp.int32),
+        rgb=jnp.zeros((capacity,), jnp.int32),
         voxel_size=jnp.asarray(voxel_size, jnp.float32),
     )
 
@@ -84,39 +102,37 @@ def offset_map_insert(vm: OffsetVoxelMap, points: PointSet) -> OffsetVoxelMap:
     w1 = pm.astype(jnp.uint32)                     # weight 1 valid, 0 invalid
     boxy = (_q16(off[:, 0]) << 16) | _q16(off[:, 1])
     bozw = (_q16(off[:, 2]) << 16) | w1
-    brgb1 = (_q16(rgb[:, 0]) << 16) | _q16(rgb[:, 1])
-    brgb2 = _q16(rgb[:, 2]) << 16
+    brgb = _pack_rgb(rgb[:, 0], rgb[:, 1], rgb[:, 2])
 
     cols = (
         jnp.concatenate([vm.khi, bhi]),
         jnp.concatenate([vm.klo, blo]),
         jnp.concatenate([vm.oxy, boxy.astype(jnp.int32)]),
         jnp.concatenate([vm.ozw, bozw.astype(jnp.int32)]),
-        jnp.concatenate([vm.rgb[:, 0], brgb1.astype(jnp.int32)]),
-        jnp.concatenate([vm.rgb[:, 1], brgb2.astype(jnp.int32)]),
+        jnp.concatenate([vm.rgb, brgb.astype(jnp.int32)]),
     )
     n = cols[0].shape[0]
     s = jax.lax.sort(cols, num_keys=2)
     skhi, sklo = s[0], s[1]
     u_oxy = s[2].astype(jnp.uint32)
     u_ozw = s[3].astype(jnp.uint32)
-    u_r1 = s[4].astype(jnp.uint32)
-    u_r2 = s[5].astype(jnp.uint32)
+    u_rgb = s[4].astype(jnp.uint32)
     w = (u_ozw & 0xFFFF).astype(jnp.float32)
+    rr, gg, bb = _unpack_rgb(u_rgb)
     # Weighted contributions; invalid rows (w=0) contribute nothing.
     scols = jnp.stack([
         _dq16(u_oxy >> 16) * w,
         _dq16(u_oxy & 0xFFFF) * w,
         _dq16(u_ozw >> 16) * w,
-        _dq16(u_r1 >> 16) * w,
-        _dq16(u_r1 & 0xFFFF) * w,
-        _dq16(u_r2 >> 16) * w,
+        rr * w,
+        gg * w,
+        bb * w,
         w,
     ], axis=1)
 
     last = ((skhi != jnp.roll(skhi, -1)) | (sklo != jnp.roll(sklo, -1))
             ).at[n - 1].set(True)
-    csum = _hier_cumsum(scols)
+    csum = matmul_cumsum(scols)
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     order = jnp.where(last, pos, jnp.int32(n))
@@ -134,12 +150,12 @@ def offset_map_insert(vm: OffsetVoxelMap, points: PointSet) -> OffsetVoxelMap:
     occupied = is_seg & (wgt > 0.0) & (okhi != INT_MAX)
     denom = jnp.maximum(wgt, 1.0)
     means = sums[:, :6] / denom[:, None]
-    q = jnp.clip(jnp.floor(means * 65536.0), 0, 65535).astype(jnp.uint32)
+    q = jnp.stack([_q(means[:, 0], 16), _q(means[:, 1], 16),
+                   _q(means[:, 2], 16)], axis=1)
     wq = jnp.clip(wgt, 0, 65535).astype(jnp.uint32)
     oxy = (q[:, 0] << 16) | q[:, 1]
     ozw = (q[:, 2] << 16) | wq
-    r1 = (q[:, 3] << 16) | q[:, 4]
-    r2 = q[:, 5] << 16
+    orgb = _pack_rgb(means[:, 3], means[:, 4], means[:, 5])
 
     zero = jnp.zeros((), jnp.int32)
     return OffsetVoxelMap(
@@ -148,9 +164,7 @@ def offset_map_insert(vm: OffsetVoxelMap, points: PointSet) -> OffsetVoxelMap:
                       INT_MAX),
         oxy=jnp.where(occupied, oxy.astype(jnp.int32), zero),
         ozw=jnp.where(occupied, ozw.astype(jnp.int32), zero),
-        rgb=jnp.where(occupied[:, None],
-                      jnp.stack([r1.astype(jnp.int32),
-                                 r2.astype(jnp.int32)], axis=1), zero),
+        rgb=jnp.where(occupied, orgb.astype(jnp.int32), zero),
         voxel_size=vm.voxel_size,
     )
 
@@ -160,8 +174,7 @@ def offset_map_points(vm: OffsetVoxelMap) -> PointSet:
     kx, ky, kz = unpack_keys(vm.khi, vm.klo)
     u_oxy = vm.oxy.astype(jnp.uint32)
     u_ozw = vm.ozw.astype(jnp.uint32)
-    u_r1 = vm.rgb[:, 0].astype(jnp.uint32)
-    u_r2 = vm.rgb[:, 1].astype(jnp.uint32)
+    u_rgb = vm.rgb.astype(jnp.uint32)
     w = (u_ozw & 0xFFFF).astype(jnp.float32)
     occ = (w > 0) & (vm.khi != INT_MAX)
     xyz = jnp.stack([
@@ -169,9 +182,7 @@ def offset_map_points(vm: OffsetVoxelMap) -> PointSet:
         ky.astype(jnp.float32) + _dq16(u_oxy & 0xFFFF),
         kz.astype(jnp.float32) + _dq16(u_ozw >> 16),
     ], axis=1) * vm.voxel_size
-    rgb = jnp.stack([
-        _dq16(u_r1 >> 16), _dq16(u_r1 & 0xFFFF), _dq16(u_r2 >> 16),
-    ], axis=1)
+    rgb = jnp.stack(_unpack_rgb(u_rgb), axis=1)
     return PointSet(
         xyz=jnp.where(occ[:, None], xyz, 0.0),
         rgb=jnp.where(occ[:, None], rgb, 0.0),

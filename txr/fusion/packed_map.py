@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from txr.core.types import PointSet
+from txr.ops.scan import matmul_cumsum
 from txr.ops.segment import INT_MAX
 
 _HALF_RANGE = 1 << 17  # 2^17 cells per semi-axis
@@ -176,7 +177,7 @@ def packed_map_insert(vm: PackedVoxelMap, points: PointSet) -> PackedVoxelMap:
 
     last = ((skhi != jnp.roll(skhi, -1)) | (sklo != jnp.roll(sklo, -1))
             ).at[n - 1].set(True)
-    csum = _hier_cumsum(scols)
+    csum = matmul_cumsum(scols)
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     order = jnp.where(last, pos, jnp.int32(n))

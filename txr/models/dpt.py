@@ -32,6 +32,32 @@ class DPTConfig:
     max_depth: float = 20.0
 
 
+class PixelShuffleUp(nn.Module):
+    """ConvTranspose with stride == kernel as an einsum pixel shuffle.
+
+    Param tree (kernel (k,k,in,out) + bias) is identical to nn.ConvTranspose,
+    so checkpoint conversion is unchanged; the forward contracts on the MXU
+    as one (B*H*W, C) x (C, k*k*F) matmul instead of XLA's general
+    transposed-conv lowering. Equivalence (incl. the spatial kernel flip)
+    is pinned by tests/test_models.py::test_pixel_shuffle_matches_convtranspose.
+    """
+
+    features: int
+    kernel: int
+
+    @nn.compact
+    def __call__(self, x):
+        k, f = self.kernel, self.features
+        cin = x.shape[-1]
+        W = self.param("kernel", nn.initializers.lecun_normal(),
+                       (k, k, cin, f))
+        b = self.param("bias", nn.initializers.zeros, (f,))
+        y = jnp.einsum("bijc,aecf->biajef", x, W[::-1, ::-1],
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        B, I, A, J, E, F = y.shape
+        return y.reshape(B, I * A, J * E, F) + b.astype(x.dtype)
+
+
 class ResidualConvUnit(nn.Module):
     features: int
 
@@ -80,11 +106,9 @@ class DPTHead(nn.Module):
             x = hs[:, 1:].reshape(b, ph, pw, hs.shape[-1])
             x = nn.Conv(c.out_channels[i], (1, 1), name=f"project_{i}")(x)
             if i == 0:      # 4x up
-                x = nn.ConvTranspose(c.out_channels[i], (4, 4), strides=(4, 4),
-                                     padding="VALID", name="resize_0")(x)
+                x = PixelShuffleUp(c.out_channels[i], 4, name="resize_0")(x)
             elif i == 1:    # 2x up
-                x = nn.ConvTranspose(c.out_channels[i], (2, 2), strides=(2, 2),
-                                     padding="VALID", name="resize_1")(x)
+                x = PixelShuffleUp(c.out_channels[i], 2, name="resize_1")(x)
             elif i == 3:    # 2x down
                 x = nn.Conv(c.out_channels[i], (3, 3), strides=(2, 2),
                             padding=1, name="resize_3")(x)

@@ -24,6 +24,13 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1.0e30
 
 
+def _interpret() -> bool:
+    """Pallas interpret mode on CPU so the test suite executes the kernels'
+    exact logic (tiny shapes only); compiled path on TPU. Evaluated lazily —
+    module import must not force backend initialization."""
+    return jax.default_backend() in ("cpu",)
+
+
 def attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                   kv_len: int | None = None) -> jnp.ndarray:
     """Reference attention. q, k, v: (B, H, S, D). Returns (B, H, S, D)."""
@@ -107,6 +114,7 @@ def attention_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     out = pl.pallas_call(
         functools.partial(_flash_kernel, kv_len=kv_len, block_k=block_k,
                           sm_scale=d ** -0.5),
+        interpret=_interpret(),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
@@ -237,6 +245,7 @@ def attention_flash_fused(qkv: jnp.ndarray, num_heads: int, head_dim: int,
                                    block_k=block_k, sm_scale=d ** -0.5, d=d)
     out = pl.pallas_call(
         kernel,
+        interpret=_interpret(),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, 2 * d),

@@ -107,7 +107,7 @@ def segmented_cumsum_cols(cols: Tuple[jnp.ndarray, ...],
     return tuple(out[i, :n] for i in range(d))
 
 
-def matmul_cumsum(x: jnp.ndarray, radix: int = 512) -> jnp.ndarray:
+def matmul_cumsum(x: jnp.ndarray, radix: int = 256) -> jnp.ndarray:
     """Inclusive column-wise cumsum of (N, D) f32 via MXU matmul-scan.
 
     A length-`radix` prefix sum is one (rows, radix) @ (radix, radix)
@@ -117,7 +117,8 @@ def matmul_cumsum(x: jnp.ndarray, radix: int = 512) -> jnp.ndarray:
     the layout contiguous (no transposes); block totals recurse.
 
     Exactness: f32 matmul accumulation — same error class as sequential f32
-    summation within each radix block.
+    summation within each radix block. radix=256 measured best at 10.4M x 7
+    on v5e (13.0 vs 14.6 hier / 16.6 r512).
     """
     n, d = x.shape
     if n <= radix:
