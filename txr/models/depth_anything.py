@@ -99,7 +99,8 @@ class DepthAnythingFlax(nn.Module):
 
 
 def build_model(version: str = "v2", encoder: str = "vitl", metric: bool = False,
-                max_depth: float = 20.0, use_flash: Optional[bool] = None
+                max_depth: float = 20.0, use_flash: Optional[bool] = None,
+                quant: str = "none",
                 ) -> Tuple[DepthAnythingFlax, ViTConfig, DPTConfig]:
     """Construct the Flax model for a registry entry."""
     version = version.lower()
@@ -111,10 +112,12 @@ def build_model(version: str = "v2", encoder: str = "vitl", metric: bool = False
         cfg = MODEL_CONFIGS.get(version, {}).get(encoder)
     if cfg is None:
         raise ValueError(f"Invalid version/encoder combination: {version}/{encoder}")
+    from dataclasses import replace
     vit = VIT_PRESETS[cfg["encoder"]]
     if use_flash is not None:
-        from dataclasses import replace
         vit = replace(vit, use_flash=use_flash)
+    if quant != "none":
+        vit = replace(vit, quant=quant)
     dpt = DPTConfig(
         features=cfg["features"],
         out_channels=tuple(cfg["out_channels"]),
@@ -143,6 +146,7 @@ class DepthAnythingModel:
         focal_length_ref: float = 300.0,
         param_dtype: Any = jnp.bfloat16,
         use_flash: Optional[bool] = None,
+        quant: str = "none",
         seed: int = 0,
     ):
         self.version = version.lower()
@@ -154,7 +158,7 @@ class DepthAnythingModel:
         self.focal_length_ref = focal_length_ref
 
         self.model, self.vit_cfg, self.dpt_cfg = build_model(
-            version, encoder, metric, max_depth, use_flash)
+            version, encoder, metric, max_depth, use_flash, quant=quant)
 
         if checkpoint_path:
             if os.path.isdir(checkpoint_path):  # native orbax checkpoint

@@ -38,6 +38,9 @@ class ViTConfig:
     # True: Pallas flash attention; False: XLA einsum; None: auto by backend
     # (Pallas on TPU forward, XLA on CPU and under autodiff).
     use_flash: bool | None = None
+    # "none": bf16/f32 dense layers; "int8": W8A8 dynamic quant on the MXU
+    # (txr.ops.quant) for every block dense — same param tree either way.
+    quant: str = "none"
 
 
 VIT_PRESETS = {
@@ -52,15 +55,26 @@ VIT_PRESETS = {
 }
 
 
+def _dense(quant: str):
+    """Dense layer class for the quant policy — identical param trees."""
+    if quant == "int8":
+        from txr.ops.quant import Int8Dense
+
+        return Int8Dense
+    return nn.Dense
+
+
 class Mlp(nn.Module):
     hidden: int
     out: int
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden, name="fc1")(x)
+        D = _dense(self.quant)
+        x = D(self.hidden, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.Dense(self.out, name="fc2")(x)
+        x = D(self.out, name="fc2")(x)
         return x
 
 
@@ -69,13 +83,15 @@ class SwiGLU(nn.Module):
 
     hidden: int
     out: int
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
-        x12 = nn.Dense(2 * self.hidden, name="w12")(x)
+        D = _dense(self.quant)
+        x12 = D(2 * self.hidden, name="w12")(x)
         x1, x2 = jnp.split(x12, 2, axis=-1)
         x = nn.silu(x1) * x2
-        return nn.Dense(self.out, name="w3")(x)
+        return D(self.out, name="w3")(x)
 
 
 class Attention(nn.Module):
@@ -86,7 +102,8 @@ class Attention(nn.Module):
         c = self.cfg
         b, s, d = x.shape
         head_dim = d // c.num_heads
-        qkv = nn.Dense(3 * d, name="qkv")(x)  # one fused MXU matmul
+        D = _dense(c.quant)
+        qkv = D(3 * d, name="qkv")(x)  # one fused MXU matmul
 
         use_flash = c.use_flash
         if use_flash is None:
@@ -102,7 +119,7 @@ class Attention(nn.Module):
             q, k, v = (parts[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
             o = multi_head_attention(q, k, v, kv_len=kv_len, use_flash=use_flash)
             o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
-        return nn.Dense(d, name="proj")(o)
+        return D(d, name="proj")(o)
 
 
 class Block(nn.Module):
@@ -122,9 +139,9 @@ class Block(nn.Module):
         if c.use_swiglu:
             # DINOv2 rounds SwiGLU hidden to a multiple of 8 after 2/3 scaling.
             sw_hidden = (int(mlp_hidden * 2 / 3) + 7) // 8 * 8
-            h = SwiGLU(sw_hidden, d, name="mlp")(h)
+            h = SwiGLU(sw_hidden, d, quant=c.quant, name="mlp")(h)
         else:
-            h = Mlp(mlp_hidden, d, name="mlp")(h)
+            h = Mlp(mlp_hidden, d, quant=c.quant, name="mlp")(h)
         return x + h * ls2
 
 

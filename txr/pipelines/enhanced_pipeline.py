@@ -57,7 +57,8 @@ class DepthEnhancedReconstruction:
                  use_hybrid_features: bool = True, depth_model=None,
                  verbose: bool = True, subsample: int = 4,
                  voxel_size: float = 0.005, use_ba: bool = False,
-                 ba_iterations: int = 15, feature_backend: str = "auto"):
+                 ba_iterations: int = 15, feature_backend: str = "auto",
+                 quant: str = "none"):
         self.K = np.asarray(K, np.float64)
         self.use_depth = use_depth
         self.use_hybrid = use_hybrid_features
@@ -66,6 +67,7 @@ class DepthEnhancedReconstruction:
         self.voxel_size = voxel_size
         self.use_ba = use_ba
         self.ba_iterations = ba_iterations
+        self.quant = quant
 
         self.images: List[np.ndarray] = []
         self.image_names: List[str] = []
@@ -117,7 +119,8 @@ class DepthEnhancedReconstruction:
 
             # Reference DepthEstimator loads DA-V2-Large via HF
             # (depth_enhanced_reconstruction.py:108-134).
-            self._depth_model = DepthAnythingModel(version="v2", encoder="vitl")
+            self._depth_model = DepthAnythingModel(version="v2", encoder="vitl",
+                                                   quant=self.quant)
         self._log("Estimating depth maps...")
         self.depths = []
         shapes = {im.shape[:2] for im in self.images}
