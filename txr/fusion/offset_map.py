@@ -134,6 +134,28 @@ def offset_map_insert(vm: OffsetVoxelMap, points: PointSet) -> OffsetVoxelMap:
             ).at[n - 1].set(True)
     csum = matmul_cumsum(scols)
 
+    # Segment sums at FULL length, so compaction gathers only the five packed
+    # int32 output columns in one interleaved row gather. Single-column
+    # gathers dominate the old epilogue (tools/bench_gather.py: (2M,7) row
+    # gather + two (2M,) gathers = 115 ms vs 41 for one row gather).
+    # prev-end csum per row: every scols addend is >= 0, so each csum column
+    # is nondecreasing and a shifted cummax over end-masked rows recovers
+    # csum at the latest segment end strictly before each row.
+    ends_only = jnp.where(last[:, None], csum, 0.0)
+    prev = jax.lax.cummax(ends_only, axis=0)
+    prev = jnp.concatenate([jnp.zeros((1, 7), prev.dtype), prev[:-1]], axis=0)
+    sums = csum - prev                    # valid at rows where last is True
+
+    wgt = sums[:, 6]
+    denom = jnp.maximum(wgt, 1.0)
+    means = sums[:, :6] / denom[:, None]
+    wq = jnp.clip(wgt, 0, 65535).astype(jnp.uint32)
+    oxy = (_q(means[:, 0], 16) << 16) | _q(means[:, 1], 16)
+    ozw = (_q(means[:, 2], 16) << 16) | wq
+    orgb = _pack_rgb(means[:, 3], means[:, 4], means[:, 5])
+    packed = jnp.stack([skhi, sklo, oxy.astype(jnp.int32),
+                        ozw.astype(jnp.int32), orgb.astype(jnp.int32)], axis=1)
+
     pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     order = jnp.where(last, pos, jnp.int32(n))
     # top_k(-order) = first `cap` segment-end positions in key order
@@ -141,30 +163,18 @@ def offset_map_insert(vm: OffsetVoxelMap, points: PointSet) -> OffsetVoxelMap:
     neg_top, perm_c = jax.lax.top_k(-order, cap)
     is_seg = (-neg_top) < n
 
-    ends = csum[perm_c]
-    prev = jnp.concatenate([jnp.zeros((1, 7), ends.dtype), ends[:-1]], axis=0)
-    sums = jnp.where(is_seg[:, None], ends - prev, 0.0)
-
-    wgt = sums[:, 6]
-    okhi = jnp.where(is_seg, skhi[perm_c], INT_MAX)
-    occupied = is_seg & (wgt > 0.0) & (okhi != INT_MAX)
-    denom = jnp.maximum(wgt, 1.0)
-    means = sums[:, :6] / denom[:, None]
-    q = jnp.stack([_q(means[:, 0], 16), _q(means[:, 1], 16),
-                   _q(means[:, 2], 16)], axis=1)
-    wq = jnp.clip(wgt, 0, 65535).astype(jnp.uint32)
-    oxy = (q[:, 0] << 16) | q[:, 1]
-    ozw = (q[:, 2] << 16) | wq
-    orgb = _pack_rgb(means[:, 3], means[:, 4], means[:, 5])
+    rows = packed[perm_c]                 # ONE (cap, 5) interleaved gather
+    okhi = jnp.where(is_seg, rows[:, 0], INT_MAX)
+    wgt_c = rows[:, 3].astype(jnp.uint32) & 0xFFFF
+    occupied = is_seg & (wgt_c > 0) & (okhi != INT_MAX)
 
     zero = jnp.zeros((), jnp.int32)
     return OffsetVoxelMap(
         khi=jnp.where(occupied, okhi, INT_MAX),
-        klo=jnp.where(occupied, jnp.where(is_seg, sklo[perm_c], INT_MAX),
-                      INT_MAX),
-        oxy=jnp.where(occupied, oxy.astype(jnp.int32), zero),
-        ozw=jnp.where(occupied, ozw.astype(jnp.int32), zero),
-        rgb=jnp.where(occupied, orgb.astype(jnp.int32), zero),
+        klo=jnp.where(occupied, rows[:, 1], INT_MAX),
+        oxy=jnp.where(occupied, rows[:, 2], zero),
+        ozw=jnp.where(occupied, rows[:, 3], zero),
+        rgb=jnp.where(occupied, rows[:, 4], zero),
         voxel_size=vm.voxel_size,
     )
 
