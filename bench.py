@@ -7,7 +7,7 @@ round-trip of intermediate point sets):
 
     uint8 1080p frames → bicubic resize+normalize (MXU interpolation matmuls)
     → Depth Anything ViT-L forward (Pallas flash attention, bf16)
-    → bilinear upsample to 1080p → back-projection (stride 2, 518k pts/frame)
+    → back-projection on the model depth grid (478k pts/frame)
     → scatter-free mean-offset voxel-map fusion in HBM (donated state).
 
 Prints ONE JSON line to stdout:
@@ -45,7 +45,7 @@ def main():
     from txr.core.types import PointSet
     from txr.models.depth_anything import build_model
     from txr.ops.resize import (IMAGENET_MEAN, IMAGENET_STD, compute_da_resize,
-                                resize_bicubic, resize_bilinear_strided)
+                                resize_bicubic)
     from txr.ops.backproject import backproject_world
     from txr.fusion.offset_map import (create_offset_map, offset_map_insert,
                                        offset_map_size)
@@ -75,26 +75,28 @@ def main():
     eye = jnp.eye(3, dtype=jnp.float32)
     zero_t = jnp.zeros(3, jnp.float32)
 
+    # Back-project directly on the model's depth grid: the 924x518 output is
+    # the densest depth the network produces (the 1080p map is interpolated
+    # from it), each model pixel maps to an exact 1080p subpixel via the
+    # per-axis resize scale, and the bicubic-resized RGB computed for the
+    # model input doubles as the point colors. Skips the bilinear upsample
+    # and gives 478,632 candidate points/frame (vs 518,400 at 1080p
+    # stride 2) with the same information content.
+    sx, sy = in_w / W, in_h / H
+
     @partial(jax.jit, donate_argnums=(2,))
     def step(params, frames_u8, vm):
         x = frames_u8.astype(jnp.float32) / 255.0
         xm = resize_bicubic(x, in_h, in_w, align_corners=False)
-        xm = ((xm - mean) / std).astype(jnp.bfloat16)
-        depth = model.apply({"params": params}, xm).astype(jnp.float32)
-        # Depth only needs evaluating at the stride-2 back-projection pixels:
-        # fold the stride into the 1080p bilinear upsample (1/4 the work, no
-        # full-res materialization) and compensate intrinsics by the stride.
-        depth_s = resize_bilinear_strided(depth[..., None], H, W,
-                                          align_corners=True,
-                                          row_stride=2, col_stride=2)[..., 0]
-        rgb_s = frames_u8[:, ::2, ::2]
+        xn = ((xm - mean) / std).astype(jnp.bfloat16)
+        depth = model.apply({"params": params}, xn).astype(jnp.float32)
 
         def one(depth_i, rgb_i):
             return backproject_world(depth_i, rgb_i, eye, zero_t,
-                                     fx / 2, fy / 2, cx / 2, cy / 2,
+                                     fx * sx, fy * sy, cx * sx, cy * sy,
                                      1e-4, 1e6, 1.0, 1)
 
-        ps = jax.vmap(one)(depth_s, rgb_s)
+        ps = jax.vmap(one)(depth, xm)
         n = ps.xyz.shape[0] * ps.xyz.shape[1]
         flat = PointSet(ps.xyz.reshape(n, 3), ps.rgb.reshape(n, 3),
                         ps.mask.reshape(n))

@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Decompose the DPT head cost at vitl bench shapes (B=16, ph=37, pw=66).
+
+FLOP floor (v5e 197 TF/s bf16): reassemble ~7 ms, fusion ~19 ms (fusion_0's
+two 256-ch 3x3 RCD convs at 148x264 are 15 of it), output head ~16 ms
+(conv1 7.5 + resize-to-924x518 5.2 + conv2 2.9). Total ~42 ms.
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+sys.path.insert(0, "/root/repo")
+from txr.models.dpt import DPTConfig, DPTHead, FeatureFusionBlock, ResidualConvUnit
+from txr.ops.resize import resize_bilinear
+
+
+def sync(x):
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
+def timeit(fn, *args, reps=10, name=""):
+    r = fn(*args)
+    sync(r)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = fn(*args)
+    sync(r)
+    dt = (time.perf_counter() - t0) / reps * 1000
+    print(f"{name:30s} {dt:8.2f} ms")
+    return dt
+
+
+def main():
+    B, ph, pw, D = 16, 37, 66, 1024
+    cfg = DPTConfig(features=256, out_channels=(256, 512, 1024, 1024))
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+
+    hs = [jnp.asarray(rng.normal(size=(B, 1 + ph * pw, D)).astype(np.float32)
+                      ).astype(jnp.bfloat16) for _ in range(4)]
+    head = DPTHead(cfg)
+    p = head.init(key, hs, ph, pw)
+    p = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), p)
+    f = jax.jit(lambda p, h: head.apply(p, h, ph, pw))
+    timeit(f, p, hs, name="DPT head total")
+
+    # fusion_0-equivalent: FeatureFusionBlock with residual at (148, 264).
+    x = jnp.asarray(rng.normal(size=(B, 148, 264, 256)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    fb = FeatureFusionBlock(256)
+    pf = jax.tree_util.tree_map(lambda v: v.astype(jnp.bfloat16),
+                                fb.init(key, x, x))
+    timeit(jax.jit(lambda p, a, b: fb.apply(p, a, b)), pf, x, x,
+           name="fusion_0 block (148x264)")
+
+    # output head: conv1 at (296,528,256) -> resize (518,924) -> conv2+conv3
+    y0 = jnp.asarray(rng.normal(size=(B, 296, 528, 256)).astype(np.float32)
+                     ).astype(jnp.bfloat16)
+
+    class OutHead(nn.Module):
+        @nn.compact
+        def __call__(self, y):
+            y = nn.Conv(128, (3, 3), padding=1)(y)
+            y = resize_bilinear(y, 518, 924, align_corners=True)
+            y = nn.Conv(32, (3, 3), padding=1)(y)
+            y = nn.relu(y)
+            return nn.Conv(1, (1, 1))(y)
+
+    oh = OutHead()
+    po = jax.tree_util.tree_map(lambda v: v.astype(jnp.bfloat16),
+                                oh.init(key, y0))
+    timeit(jax.jit(lambda p, y: oh.apply(p, y)), po, y0, name="output head")
+
+    # the resize alone at 128 channels
+    y1 = jnp.asarray(rng.normal(size=(B, 296, 528, 128)).astype(np.float32)
+                     ).astype(jnp.bfloat16)
+    timeit(jax.jit(lambda y: resize_bilinear(y, 518, 924, align_corners=True)),
+           y1, name="resize 296x528->518x924 c128")
+
+
+if __name__ == "__main__":
+    main()
