@@ -59,3 +59,35 @@ class TestQuantDepthModel:
         rel = np.abs(dq - df) / rng_span
         assert np.median(rel) < 0.02, f"median rel err {np.median(rel)}"
         assert rel.max() < 0.15, f"max rel err {rel.max()}"
+
+
+class TestQuantPallas:
+    def test_int8_linear_matches_int8_matmul(self, rng):
+        from txr.ops.quant_pallas import int8_linear
+        x = jnp.asarray(rng.normal(size=(300, 96)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(96, 130)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(130,)).astype(np.float32))
+        wq, s = quantize_weight(w)
+        ref = np.asarray(int8_matmul(x, wq, s, out_dtype=jnp.float32)) + \
+            np.asarray(b)[None, :]
+        got = np.asarray(int8_linear(x, w, b, block_m=128, block_n=128))
+        # identical quantization recipe; interpret-mode kernel == XLA path
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+    def test_int8dense_pallas_param_tree(self, rng):
+        import flax.linen as nn
+        from txr.ops.quant import Int8DensePallas
+        x = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32))
+        pd = nn.Dense(8).init(jax.random.PRNGKey(0), x)["params"]
+        pq = Int8DensePallas(8).init(jax.random.PRNGKey(0), x)["params"]
+        assert jax.tree_util.tree_structure(pd) == jax.tree_util.tree_structure(pq)
+
+    def test_vits_int8p_close_to_int8(self, rng):
+        mq, _, _ = build_model("v2", "vits", use_flash=False, quant="int8")
+        mp, _, _ = build_model("v2", "vits", use_flash=False, quant="int8p")
+        x = jnp.asarray(rng.normal(size=(1, 70, 70, 3)).astype(np.float32) * 0.5)
+        params = mq.init(jax.random.PRNGKey(1), x)["params"]
+        dq = np.asarray(mq.apply({"params": params}, x))
+        dp = np.asarray(mp.apply({"params": params}, x))
+        span = max(float(dq.max() - dq.min()), 1e-6)
+        assert np.abs(dp - dq).max() / span < 0.02

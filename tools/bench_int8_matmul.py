@@ -63,13 +63,17 @@ def main():
             y = jax.lax.dot(aq, b, preferred_element_type=jnp.int32)
             return (y.astype(jnp.float32) * (sx * s)).astype(jnp.bfloat16)
 
+        from txr.ops.quant_pallas import int8_linear
+
         t_bf = timeit(f_bf16, xb, wb)
         t_i8 = timeit(f_i8, xq, wq)
         t_w8a8 = timeit(f_w8a8, xb, wq, sw)
+        t_pl = timeit(jax.jit(int8_linear), xb, wb)
         gflop = 2 * M * K * N / 1e9
         print(f"({M},{K})x({K},{N}): bf16 {t_bf:7.2f} ms ({gflop/t_bf:6.0f} GF/ms)"
               f"  i8 {t_i8:7.2f} ms ({gflop/t_i8:6.0f})"
-              f"  w8a8+quant {t_w8a8:7.2f} ms ({gflop/t_w8a8:6.0f})")
+              f"  w8a8+quant {t_w8a8:7.2f} ms ({gflop/t_w8a8:6.0f})"
+              f"  pallas {t_pl:7.2f} ms ({gflop/t_pl:6.0f})", flush=True)
 
 
 if __name__ == "__main__":

@@ -28,6 +28,7 @@ def sync(x):
 
 
 def timeit(fn, *args, reps=10, name=""):
+    print(f"compiling {name}...", file=sys.stderr, flush=True)
     r = fn(*args)
     sync(r)
     t0 = time.perf_counter()
@@ -45,17 +46,15 @@ def main():
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
 
-    hs = [jnp.asarray(rng.normal(size=(B, 1 + ph * pw, D)).astype(np.float32)
-                      ).astype(jnp.bfloat16) for _ in range(4)]
-    head = DPTHead(cfg)
-    p = head.init(key, hs, ph, pw)
-    p = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), p)
-    f = jax.jit(lambda p, h: head.apply(p, h, ph, pw))
-    timeit(f, p, hs, name="DPT head total")
+    import ml_dtypes
+    def dev_bf16(shape):
+        a = rng.normal(size=shape).astype(ml_dtypes.bfloat16)
+        print(f"H2D {a.nbytes/1e6:.0f} MB...", file=sys.stderr, flush=True)
+        return jax.device_put(a)
 
+    hs = [dev_bf16((B, 1 + ph * pw, D)) for _ in range(4)]
     # fusion_0-equivalent: FeatureFusionBlock with residual at (148, 264).
-    x = jnp.asarray(rng.normal(size=(B, 148, 264, 256)).astype(np.float32)
-                    ).astype(jnp.bfloat16)
+    x = dev_bf16((B, 148, 264, 256))
     fb = FeatureFusionBlock(256)
     pf = jax.tree_util.tree_map(lambda v: v.astype(jnp.bfloat16),
                                 fb.init(key, x, x))
@@ -63,8 +62,7 @@ def main():
            name="fusion_0 block (148x264)")
 
     # output head: conv1 at (296,528,256) -> resize (518,924) -> conv2+conv3
-    y0 = jnp.asarray(rng.normal(size=(B, 296, 528, 256)).astype(np.float32)
-                     ).astype(jnp.bfloat16)
+    y0 = dev_bf16((B, 296, 528, 256))
 
     class OutHead(nn.Module):
         @nn.compact
@@ -81,10 +79,15 @@ def main():
     timeit(jax.jit(lambda p, y: oh.apply(p, y)), po, y0, name="output head")
 
     # the resize alone at 128 channels
-    y1 = jnp.asarray(rng.normal(size=(B, 296, 528, 128)).astype(np.float32)
-                     ).astype(jnp.bfloat16)
+    y1 = dev_bf16((B, 296, 528, 128))
     timeit(jax.jit(lambda y: resize_bilinear(y, 518, 924, align_corners=True)),
            y1, name="resize 296x528->518x924 c128")
+
+    head = DPTHead(cfg)
+    p = head.init(key, hs, ph, pw)
+    p = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), p)
+    f = jax.jit(lambda p, h: head.apply(p, h, ph, pw))
+    timeit(f, p, hs, name="DPT head total")
 
 
 if __name__ == "__main__":

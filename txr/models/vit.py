@@ -55,12 +55,22 @@ VIT_PRESETS = {
 }
 
 
-def _dense(quant: str):
-    """Dense layer class for the quant policy — identical param trees."""
-    if quant == "int8":
+def _dense(quant: str, role: str = ""):
+    """Dense layer class for the quant policy — identical param trees.
+
+    "int8": XLA W8A8 everywhere. "int8p": Pallas fused kernel everywhere.
+    "int8mix": per-shape best measured on v5e (tools/bench_int8_matmul.py) —
+    the Pallas kernel's in-register rowmax wins only on the wide-K fc2
+    reduction; XLA's fused quant pattern wins the K=1024 shapes.
+    """
+    if quant == "int8" or (quant == "int8mix" and role != "fc2"):
         from txr.ops.quant import Int8Dense
 
         return Int8Dense
+    if quant == "int8p" or (quant == "int8mix" and role == "fc2"):
+        from txr.ops.quant import Int8DensePallas
+
+        return Int8DensePallas
     return nn.Dense
 
 
@@ -71,10 +81,9 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        D = _dense(self.quant)
-        x = D(self.hidden, name="fc1")(x)
+        x = _dense(self.quant, "fc1")(self.hidden, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
-        x = D(self.out, name="fc2")(x)
+        x = _dense(self.quant, "fc2")(self.out, name="fc2")(x)
         return x
 
 

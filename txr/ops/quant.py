@@ -73,3 +73,23 @@ class Int8Dense(nn.Module):
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + b.astype(y.dtype)
         return y
+
+
+class Int8DensePallas(nn.Module):
+    """nn.Dense-compatible dense layer backed by the fused Pallas W8A8
+    kernel (txr.ops.quant_pallas.int8_linear): activation quantization
+    happens in-register inside the matmul kernel instead of as separate XLA
+    passes. Same param tree as nn.Dense/Int8Dense."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        from txr.ops.quant_pallas import int8_linear
+
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (x.shape[-1], self.features))
+        b = (self.param("bias", nn.initializers.zeros, (self.features,))
+             if self.use_bias else None)
+        return int8_linear(x, k, b)

@@ -94,10 +94,37 @@ def _apply_axis_matrix(x: jnp.ndarray, M: jnp.ndarray, axis: int) -> jnp.ndarray
         M = M.astype(jnp.bfloat16)
     else:
         x = x.astype(jnp.float32)
-    moved = jnp.moveaxis(x, axis, -1)
-    out = jnp.einsum("...i,oi->...o", moved, M,
+    # Contract in place: no moveaxis-to-last round trip. XLA was already
+    # eliding those transposes (timings unchanged on v5e), but the in-place
+    # einsum keeps the HLO free of layout round-trips by construction.
+    letters = "abcdefghijk"
+    sub = letters[:x.ndim]
+    out_sub = sub.replace(sub[axis], "o")
+    out = jnp.einsum(f"o{sub[axis]},{sub}->{out_sub}", M, x,
                      preferred_element_type=jnp.float32)
-    return jnp.moveaxis(out.astype(x.dtype), -1, axis)
+    return out.astype(x.dtype)
+
+
+
+
+def _apply_separable(x, Mh, Mw, h_axis, w_axis):
+    """Apply row and column interpolation matrices in the FLOP-cheaper order.
+
+    Separable resize commutes; cost differs: row-then-col contracts the W
+    axis at the NEW height, col-then-row at the OLD height (and vice versa).
+    For the DPT output-head upsample (296x528 -> 518x924 c128 b16) col-first
+    is 14% fewer FLOPs. (Measured effect on v5e is within noise — these
+    matmuls are layout-bound, not FLOP-bound — but the cheaper order costs
+    nothing and helps shapes with larger axis ratios.)"""
+    h1, w1 = x.shape[h_axis], x.shape[w_axis]
+    h2, w2 = Mh.shape[0], Mw.shape[0]
+    row_first = h2 * h1 * w1 + w2 * w1 * h2
+    col_first = w2 * w1 * h1 + h2 * h1 * w2
+    if col_first < row_first:
+        y = _apply_axis_matrix(x, Mw, w_axis)
+        return _apply_axis_matrix(y, Mh, h_axis)
+    y = _apply_axis_matrix(x, Mh, h_axis)
+    return _apply_axis_matrix(y, Mw, w_axis)
 
 
 @partial(jax.jit, static_argnames=("height", "width", "align_corners"))
@@ -108,8 +135,7 @@ def resize_bilinear(x: jnp.ndarray, height: int, width: int,
     dt = x.dtype
     Mh = _linear_matrix(height, x.shape[h_axis], align_corners)
     Mw = _linear_matrix(width, x.shape[w_axis], align_corners)
-    y = _apply_axis_matrix(x, Mh, h_axis)
-    y = _apply_axis_matrix(y, Mw, w_axis)
+    y = _apply_separable(x, Mh, Mw, h_axis, w_axis)
     # Preserve floating input dtype (bf16 activations stay bf16 mid-network).
     if jnp.issubdtype(dt, jnp.floating):
         y = y.astype(dt)
@@ -134,8 +160,7 @@ def resize_bilinear_strided(x: jnp.ndarray, height: int, width: int,
     src_w = _source_coords(width, x.shape[w_axis], align_corners)[::col_stride]
     Mh = _linear_matrix_from_src(src_h, x.shape[h_axis])
     Mw = _linear_matrix_from_src(src_w, x.shape[w_axis])
-    y = _apply_axis_matrix(x, Mh, h_axis)
-    y = _apply_axis_matrix(y, Mw, w_axis)
+    y = _apply_separable(x, Mh, Mw, h_axis, w_axis)
     if jnp.issubdtype(dt, jnp.floating):
         y = y.astype(dt)
     return y
@@ -148,8 +173,7 @@ def resize_bicubic(x: jnp.ndarray, height: int, width: int,
     h_axis, w_axis = x.ndim - 3, x.ndim - 2
     Mh = _cubic_matrix(height, x.shape[h_axis], align_corners)
     Mw = _cubic_matrix(width, x.shape[w_axis], align_corners)
-    y = _apply_axis_matrix(x, Mh, h_axis)
-    y = _apply_axis_matrix(y, Mw, w_axis)
+    y = _apply_separable(x, Mh, Mw, h_axis, w_axis)
     return y
 
 
