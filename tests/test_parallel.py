@@ -98,3 +98,122 @@ class TestGraftEntry:
         fn = jax.jit(lambda p, x: model.apply({"params": p}, x))
         out = fn(params, jnp.zeros((1, 56, 56, 3)))
         assert out.shape == (1, 56, 56)
+
+
+class TestShardedFusion:
+    """txr/parallel/pipeline.py — dp-sharded fusion with exact map merge."""
+
+    class StubDepth:
+        """Deterministic 'model': depth from pixel intensity (no tp numerics),
+        so the sharded pipeline's points match the single-device path bit-for
+        -bit and voxel keys compare exactly."""
+
+        def apply(self, variables, frames):
+            return 1.0 + 3.0 * jnp.mean(frames, axis=-1)
+
+    def _frames(self, rng, b=8, h=16, w=24):
+        return jnp.asarray(rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32))
+
+    def _intr(self, w=24, h=16):
+        return (20.0, 20.0, w / 2.0, h / 2.0)
+
+    def test_sharded_matches_sequential(self, devices, rng):
+        from txr.fusion.offset_map import (create_offset_map,
+                                           offset_map_insert,
+                                           offset_map_points, offset_map_size)
+        from txr.ops.backproject import backproject_world
+        from txr.parallel.pipeline import (create_sharded_maps,
+                                           make_sharded_fusion_step,
+                                           merge_sharded_maps)
+
+        mesh = make_mesh(dp=4, tp=2, devices=devices)
+        model = self.StubDepth()
+        frames = self._frames(rng)
+        step = make_sharded_fusion_step(model, {}, mesh, self._intr(),
+                                        min_depth=1e-3, max_depth=100.0)
+        vms = create_sharded_maps(mesh, 4096, 0.05)
+        with mesh:
+            vms = step({}, frames, vms)
+            vms = step({}, frames, vms)
+            merged = merge_sharded_maps(vms)
+
+        # sequential single map on the same points
+        eye, zt = jnp.eye(3), jnp.zeros(3)
+        fx, fy, cx, cy = self._intr()
+        depth = model.apply({}, frames)
+        ps = jax.vmap(lambda d, c: backproject_world(
+            d, c, eye, zt, fx, fy, cx, cy, 1e-3, 100.0, 1.0, 1))(depth, frames)
+        n = ps.xyz.shape[0] * ps.xyz.shape[1]
+        from txr.core.types import PointSet
+        flat = PointSet(ps.xyz.reshape(n, 3), ps.rgb.reshape(n, 3),
+                        ps.mask.reshape(n))
+        ref = create_offset_map(4096, 0.05)
+        ref = offset_map_insert(ref, flat)
+        ref = offset_map_insert(ref, flat)
+
+        assert int(offset_map_size(merged)) == int(offset_map_size(ref)) > 0
+        mp, rp = offset_map_points(merged), offset_map_points(ref)
+
+        def key_sorted(p):
+            xyz = np.asarray(p.xyz)[np.asarray(p.mask)]
+            rgb = np.asarray(p.rgb)[np.asarray(p.mask)]
+            o = np.lexsort(np.floor(xyz / 0.05).astype(np.int64).T)
+            return xyz[o], rgb[o]
+
+        mxyz, mrgb = key_sorted(mp)
+        rxyz, rrgb = key_sorted(rp)
+        # voxel keys identical; means within fixed-point requantization slack
+        np.testing.assert_allclose(mxyz, rxyz, atol=0.05 * 3e-4)
+        np.testing.assert_allclose(mrgb, rrgb, atol=6e-3)
+
+    def test_full_model_sharded_smoke(self, devices, rng):
+        from txr.fusion.offset_map import offset_map_size
+        from txr.parallel.mesh import shard_params
+        from txr.parallel.pipeline import (create_sharded_maps,
+                                           make_sharded_fusion_step,
+                                           merge_sharded_maps)
+
+        mesh = make_mesh(dp=4, tp=2, devices=devices)
+        model = tiny_pair()
+        h = w = 14 * 4
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, h, w, 3), jnp.float32))["params"]
+        frames = jnp.asarray(rng.uniform(0, 1, (4, h, w, 3)).astype(np.float32))
+        step = make_sharded_fusion_step(model, params, mesh,
+                                        (50.0, 50.0, w / 2, h / 2),
+                                        min_depth=1e-3, max_depth=1e3)
+        vms = create_sharded_maps(mesh, 2048, 0.05)
+        with mesh:
+            sp = shard_params(params, mesh)
+            vms = step(sp, frames, vms)
+            merged = merge_sharded_maps(vms)
+        assert int(offset_map_size(merged)) > 0
+
+    def test_merge_parity(self, rng):
+        from txr.core.types import PointSet
+        from txr.fusion.offset_map import (create_offset_map,
+                                           offset_map_insert, offset_map_merge,
+                                           offset_map_points, offset_map_size)
+
+        def pset(k):
+            xyz = rng.normal(0, 0.4, (500, 3)).astype(np.float32)
+            rgb = rng.uniform(0, 1, (500, 3)).astype(np.float32)
+            return PointSet(jnp.asarray(xyz), jnp.asarray(rgb),
+                            jnp.ones((500,), bool))
+
+        p1, p2 = pset(1), pset(2)
+        a = offset_map_insert(create_offset_map(4096, 0.05), p1)
+        b = offset_map_insert(create_offset_map(4096, 0.05), p2)
+        m = offset_map_merge(a, b)
+        ref = offset_map_insert(offset_map_insert(
+            create_offset_map(4096, 0.05), p1), p2)
+        assert int(offset_map_size(m)) == int(offset_map_size(ref)) > 0
+        mp, rp = offset_map_points(m), offset_map_points(ref)
+
+        def key_sorted(p):
+            xyz = np.asarray(p.xyz)[np.asarray(p.mask)]
+            o = np.lexsort(np.floor(xyz / 0.05).astype(np.int64).T)
+            return xyz[o]
+
+        np.testing.assert_allclose(key_sorted(mp), key_sorted(rp),
+                                   atol=0.05 * 3e-4)

@@ -88,10 +88,9 @@ def create_offset_map(capacity: int, voxel_size: float) -> OffsetVoxelMap:
     )
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def offset_map_insert(vm: OffsetVoxelMap, points: PointSet) -> OffsetVoxelMap:
-    cap = vm.khi.shape[0]
-    g = points.xyz / vm.voxel_size
+def _point_cols(points: PointSet, voxel_size):
+    """PointSet -> the five packed int32 insert columns (weight 1 each)."""
+    g = points.xyz / voxel_size
     coords = jnp.floor(g).astype(jnp.int32)
     pm = points.mask
     # Zero masked rows before quantizing: their xyz/rgb may be garbage/NaN,
@@ -103,14 +102,34 @@ def offset_map_insert(vm: OffsetVoxelMap, points: PointSet) -> OffsetVoxelMap:
     boxy = (_q16(off[:, 0]) << 16) | _q16(off[:, 1])
     bozw = (_q16(off[:, 2]) << 16) | w1
     brgb = _pack_rgb(rgb[:, 0], rgb[:, 1], rgb[:, 2])
+    return (bhi, blo, boxy.astype(jnp.int32), bozw.astype(jnp.int32),
+            brgb.astype(jnp.int32))
 
-    cols = (
-        jnp.concatenate([vm.khi, bhi]),
-        jnp.concatenate([vm.klo, blo]),
-        jnp.concatenate([vm.oxy, boxy.astype(jnp.int32)]),
-        jnp.concatenate([vm.ozw, bozw.astype(jnp.int32)]),
-        jnp.concatenate([vm.rgb, brgb.astype(jnp.int32)]),
-    )
+
+@partial(jax.jit, donate_argnums=(0,))
+def offset_map_insert(vm: OffsetVoxelMap, points: PointSet) -> OffsetVoxelMap:
+    bcols = _point_cols(points, vm.voxel_size)
+    cols = tuple(jnp.concatenate([v, b])
+                 for v, b in zip(vm[:5], bcols))
+    return _reduce_packed(cols, vm.khi.shape[0], vm.voxel_size)
+
+
+@jax.jit
+def offset_map_merge(a: OffsetVoxelMap, b: OffsetVoxelMap) -> OffsetVoxelMap:
+    """Exact weighted merge of two offset maps (same voxel_size).
+
+    Both maps' packed rows carry their accumulated u16 weights, and the
+    segment reduce sums weight-scaled mean offsets — the same math the
+    insert applies to the resident map's rows — so merging partial maps
+    (e.g. per-chip shards from a dp mesh, txr/parallel/pipeline.py) is the
+    associative weighted-mean combine, not a weight-1 reinsertion of means.
+    Output capacity = a's capacity.
+    """
+    cols = tuple(jnp.concatenate([x, y]) for x, y in zip(a[:5], b[:5]))
+    return _reduce_packed(cols, a.khi.shape[0], a.voxel_size)
+
+
+def _reduce_packed(cols, cap: int, voxel_size) -> OffsetVoxelMap:
     n = cols[0].shape[0]
     s = jax.lax.sort(cols, num_keys=2)
     skhi, sklo = s[0], s[1]
@@ -175,7 +194,7 @@ def offset_map_insert(vm: OffsetVoxelMap, points: PointSet) -> OffsetVoxelMap:
         oxy=jnp.where(occupied, rows[:, 2], zero),
         ozw=jnp.where(occupied, rows[:, 3], zero),
         rgb=jnp.where(occupied, rows[:, 4], zero),
-        voxel_size=vm.voxel_size,
+        voxel_size=voxel_size,
     )
 
 
