@@ -153,17 +153,25 @@ def _reduce_packed(cols, cap: int, voxel_size) -> OffsetVoxelMap:
             ).at[n - 1].set(True)
     csum = matmul_cumsum(scols)
 
-    # Segment sums at FULL length, so compaction gathers only the five packed
-    # int32 output columns in one interleaved row gather. Single-column
-    # gathers dominate the old epilogue (tools/bench_gather.py: (2M,7) row
-    # gather + two (2M,) gathers = 115 ms vs 41 for one row gather).
-    # prev-end csum per row: every scols addend is >= 0, so each csum column
-    # is nondecreasing and a shifted cummax over end-masked rows recovers
-    # csum at the latest segment end strictly before each row.
-    ends_only = jnp.where(last[:, None], csum, 0.0)
-    prev = jax.lax.cummax(ends_only, axis=0)
-    prev = jnp.concatenate([jnp.zeros((1, 7), prev.dtype), prev[:-1]], axis=0)
-    sums = csum - prev                    # valid at rows where last is True
+    # Compaction first, then the epilogue on `cap` rows. Gather shapes are
+    # the whole cost here (tools/bench_gather.py): single-column gathers are
+    # poison (21-37 ms EACH at 2M rows), interleaved row gathers amortize —
+    # so gather csum as one (cap, 7) row gather and the two key columns as
+    # one (cap, 2) row gather from a stacked table, then difference
+    # consecutive compacted rows (perm_c is ascending, so the previous
+    # compacted row IS the previous segment end).
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    order = jnp.where(last, pos, jnp.int32(n))
+    # top_k(-order) = first `cap` segment-end positions in key order
+    # (same compaction as packed_map_insert).
+    neg_top, perm_c = jax.lax.top_k(-order, cap)
+    is_seg = (-neg_top) < n
+
+    keys2 = jnp.stack([skhi, sklo], axis=1)
+    krows = keys2[perm_c]                 # (cap, 2) interleaved gather
+    ends = csum[perm_c]                   # (cap, 7) interleaved gather
+    prev = jnp.concatenate([jnp.zeros((1, 7), ends.dtype), ends[:-1]], axis=0)
+    sums = jnp.where(is_seg[:, None], ends - prev, 0.0)
 
     wgt = sums[:, 6]
     denom = jnp.maximum(wgt, 1.0)
@@ -172,28 +180,17 @@ def _reduce_packed(cols, cap: int, voxel_size) -> OffsetVoxelMap:
     oxy = (_q(means[:, 0], 16) << 16) | _q(means[:, 1], 16)
     ozw = (_q(means[:, 2], 16) << 16) | wq
     orgb = _pack_rgb(means[:, 3], means[:, 4], means[:, 5])
-    packed = jnp.stack([skhi, sklo, oxy.astype(jnp.int32),
-                        ozw.astype(jnp.int32), orgb.astype(jnp.int32)], axis=1)
 
-    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    order = jnp.where(last, pos, jnp.int32(n))
-    # top_k(-order) = first `cap` segment-end positions in key order
-    # (same compaction as packed_map_insert).
-    neg_top, perm_c = jax.lax.top_k(-order, cap)
-    is_seg = (-neg_top) < n
-
-    rows = packed[perm_c]                 # ONE (cap, 5) interleaved gather
-    okhi = jnp.where(is_seg, rows[:, 0], INT_MAX)
-    wgt_c = rows[:, 3].astype(jnp.uint32) & 0xFFFF
-    occupied = is_seg & (wgt_c > 0) & (okhi != INT_MAX)
+    okhi = jnp.where(is_seg, krows[:, 0], INT_MAX)
+    occupied = is_seg & (wgt > 0.0) & (okhi != INT_MAX)
 
     zero = jnp.zeros((), jnp.int32)
     return OffsetVoxelMap(
         khi=jnp.where(occupied, okhi, INT_MAX),
-        klo=jnp.where(occupied, rows[:, 1], INT_MAX),
-        oxy=jnp.where(occupied, rows[:, 2], zero),
-        ozw=jnp.where(occupied, rows[:, 3], zero),
-        rgb=jnp.where(occupied, rows[:, 4], zero),
+        klo=jnp.where(occupied, krows[:, 1], INT_MAX),
+        oxy=jnp.where(occupied, oxy.astype(jnp.int32), zero),
+        ozw=jnp.where(occupied, ozw.astype(jnp.int32), zero),
+        rgb=jnp.where(occupied, orgb.astype(jnp.int32), zero),
         voxel_size=voxel_size,
     )
 
