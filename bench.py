@@ -51,8 +51,11 @@ def main():
                                        offset_map_size)
 
     encoder = os.environ.get("TXR_BENCH_ENCODER", "vitl")
-    batch = int(os.environ.get("TXR_BENCH_BATCH", "16"))
-    n_batches = int(os.environ.get("TXR_BENCH_BATCHES", "8"))
+    # batch 24 measured best on v5e: 29.10 FPS vs 27.86 @16 and 28.31 @32 —
+    # the insert's fixed-cost compaction amortizes up to ~14M sort rows,
+    # beyond which sort superlinearity wins (CLAUDE.md perf ledger).
+    batch = int(os.environ.get("TXR_BENCH_BATCH", "24"))
+    n_batches = int(os.environ.get("TXR_BENCH_BATCHES", "6"))
     quant = os.environ.get("TXR_BENCH_QUANT", "none")
     H, W = 1080, 1920
     in_h, in_w = compute_da_resize(H, W, 518)
