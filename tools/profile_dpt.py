@@ -90,5 +90,57 @@ def main():
     timeit(f, p, hs, name="DPT head total")
 
 
+def conv_variants():
+    """Lone-conv efficiency probes at fusion_0 shapes."""
+    import flax.linen as nn
+    import ml_dtypes
+    B = 16
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+
+    def dev_bf16(shape):
+        a = rng.normal(size=shape).astype(ml_dtypes.bfloat16)
+        return jax.device_put(a)
+
+    x = dev_bf16((B, 148, 264, 256))
+    conv = nn.Conv(256, (3, 3), padding=1)
+    p = jax.tree_util.tree_map(lambda v: v.astype(jnp.bfloat16),
+                               conv.init(key, x))
+    t = timeit(jax.jit(lambda p, x: conv.apply(p, x)), p, x,
+               name="conv3x3 256ch @148x264 (3.7 floor)")
+
+    # same conv as an explicit 9-shift matmul sum (halo via pad+slice)
+    w = p["params"]["kernel"]           # (3,3,256,256)
+    b = p["params"]["bias"]
+
+    @jax.jit
+    def conv_shift(w, b, x):
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        h, wd = x.shape[1], x.shape[2]
+        acc = None
+        for di in range(3):
+            for dj in range(3):
+                xs = xp[:, di:di + h, dj:dj + wd, :]
+                y = jnp.einsum("bhwc,cf->bhwf", xs, w[di, dj],
+                               preferred_element_type=jnp.float32)
+                acc = y if acc is None else acc + y
+        return (acc + b).astype(x.dtype)
+
+    t2 = timeit(conv_shift, w, b, x, name="conv3x3 as 9 shifted matmuls")
+
+    # pixel-shuffle einsum at reassemble-0 shapes
+    from txr.models.dpt import PixelShuffleUp
+    x0 = dev_bf16((B, 37, 66, 256))
+    ps4 = PixelShuffleUp(256, 4)
+    pp = jax.tree_util.tree_map(lambda v: v.astype(jnp.bfloat16),
+                                ps4.init(key, x0))
+    timeit(jax.jit(lambda p, x: ps4.apply(p, x)), pp, x0,
+           name="pixelshuffle 4x 256ch @37x66")
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _s
+    if "--convs" in _s.argv:
+        conv_variants()
+    else:
+        main()

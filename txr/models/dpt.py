@@ -52,10 +52,17 @@ class PixelShuffleUp(nn.Module):
         W = self.param("kernel", nn.initializers.lecun_normal(),
                        (k, k, cin, f))
         b = self.param("bias", nn.initializers.zeros, (f,))
-        y = jnp.einsum("bijc,aecf->biajef", x, W[::-1, ::-1],
+        # One clean (B*I*J, C) x (C, k*k*F) dot, then an explicit 6D
+        # transpose+reshape for the shuffle. The direct 6D einsum form
+        # compiles ~10x off its FLOP floor on v5e (6.6 ms vs 0.7 at the
+        # reassemble-0 shape); the dot+relayout form leaves only the
+        # bandwidth-bound shuffle transpose.
+        W2 = jnp.transpose(W[::-1, ::-1], (2, 0, 1, 3)).reshape(cin, k * k * f)
+        y = jnp.einsum("bijc,cF->bijF", x, W2,
                        preferred_element_type=jnp.float32).astype(x.dtype)
-        B, I, A, J, E, F = y.shape
-        return y.reshape(B, I * A, J * E, F) + b.astype(x.dtype)
+        B, I, J, _ = y.shape
+        y = y.reshape(B, I, J, k, k, f).transpose(0, 1, 3, 2, 4, 5)
+        return y.reshape(B, I * k, J * k, f) + b.astype(x.dtype)
 
 
 class ResidualConvUnit(nn.Module):
@@ -106,9 +113,15 @@ class DPTHead(nn.Module):
             x = hs[:, 1:].reshape(b, ph, pw, hs.shape[-1])
             x = nn.Conv(c.out_channels[i], (1, 1), name=f"project_{i}")(x)
             if i == 0:      # 4x up
-                x = PixelShuffleUp(c.out_channels[i], 4, name="resize_0")(x)
+                # nn.ConvTranspose: measured 3.1 ms vs 6.6 for the einsum
+                # pixel shuffle at this shape (the k=4 shuffle transpose is
+                # the cost; k=2 ties). PixelShuffleUp stays available with an
+                # identical param tree.
+                x = nn.ConvTranspose(c.out_channels[i], (4, 4), strides=(4, 4),
+                                     padding="VALID", name="resize_0")(x)
             elif i == 1:    # 2x up
-                x = PixelShuffleUp(c.out_channels[i], 2, name="resize_1")(x)
+                x = nn.ConvTranspose(c.out_channels[i], (2, 2), strides=(2, 2),
+                                     padding="VALID", name="resize_1")(x)
             elif i == 3:    # 2x down
                 x = nn.Conv(c.out_channels[i], (3, 3), strides=(2, 2),
                             padding=1, name="resize_3")(x)
