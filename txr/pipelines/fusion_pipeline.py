@@ -62,11 +62,48 @@ def pair_step(
 
     Returns R (3,3), t (3,), X (N,3) points in cam-1 frame, valid (N,),
     n_inliers scalar.
+
+    Planar degeneracy: the 8-point essential solve is ill-posed when the
+    matches lie on a plane (tunnel walls — this project's headline scenes;
+    the reference's cv2 5-point solver does not share the degeneracy). A
+    homography is fitted alongside and, when it explains most of the
+    E-inlier set (n_H > 0.7 n_E — a planarity test on the CORRESPONDENCES,
+    after ORB-SLAM's model selection), the pose comes from SVD homography
+    decomposition with chirality voting instead. The threshold matters: on
+    the two-plane golden scene the degenerate E still collects 100% inliers
+    (a planar set satisfies a whole family of essential matrices, and the
+    8-point answer flips with the RANSAC key), while H fits the dominant
+    plane (~80%) and decomposes to the exact pose.
     """
-    E, inliers = essential_ransac(
-        uv1, uv2, match_mask, K, key, ransac_threshold, num_hypotheses
+    from txr.geometry.homography import (homography_ransac,
+                                         recover_pose_homography)
+
+    kE, kH = jax.random.split(key)
+    E, inliers_e = essential_ransac(
+        uv1, uv2, match_mask, K, kE, ransac_threshold, num_hypotheses
     )
-    R, t, cheiral = recover_pose(E, uv1, uv2, K, inliers)
+    R_e, t_e, cheiral_e = recover_pose(E, uv1, uv2, K, inliers_e)
+
+    H, inliers_h = homography_ransac(
+        uv1, uv2, match_mask, kH, jnp.maximum(ransac_threshold, 3.0),
+        num_hypotheses)
+    R_h, t_h, cheiral_h = recover_pose_homography(H, uv1, uv2, K, inliers_h)
+
+    n_e = jnp.sum(inliers_e)
+    n_h = jnp.sum(inliers_h)
+    use_h = n_h.astype(K.dtype) > 0.7 * n_e.astype(K.dtype)
+
+    R = jnp.where(use_h, R_h, R_e)
+    t = jnp.where(use_h, t_h, t_e)
+    cheiral = jnp.where(use_h, cheiral_h, cheiral_e)
+    inliers = jnp.where(use_h, inliers_h, inliers_e)
+
+    # Gauss-Newton polish on the essential manifold: minimal-solver poses
+    # carry ~0.3-0.5 deg rotation error from pixel noise, which at
+    # few-pixel parallax becomes 25-40% triangulated-depth bias
+    # (txr/geometry/refine.py). Never worse than the input by construction.
+    from txr.geometry.refine import refine_pose
+    R, t = refine_pose(R, t, uv1, uv2, K, inliers & cheiral)
 
     eye = jnp.eye(3, dtype=K.dtype)
     P1 = K @ jnp.concatenate([eye, jnp.zeros((3, 1), K.dtype)], axis=1)
