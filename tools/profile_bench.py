@@ -23,7 +23,7 @@ sys.path.insert(0, "/root/repo")
 from txr.core.types import PointSet
 from txr.models.depth_anything import build_model
 from txr.ops.resize import (IMAGENET_MEAN, IMAGENET_STD, compute_da_resize,
-                            resize_bicubic, resize_bilinear_strided)
+                            resize_bicubic)
 from txr.ops.backproject import backproject_world
 from txr.fusion.offset_map import (create_offset_map, offset_map_insert,
                                    offset_map_size)
@@ -74,7 +74,7 @@ def main():
     def preprocess(frames_u8):
         x = frames_u8.astype(jnp.float32) / 255.0
         xm = resize_bicubic(x, in_h, in_w, align_corners=False)
-        return ((xm - mean) / std).astype(jnp.bfloat16)
+        return ((xm - mean) / std).astype(jnp.bfloat16), xm
 
     @jax.jit
     def forward(params, xm):
@@ -88,27 +88,27 @@ def main():
     def forward_encoder(params, xm):
         return enc_model.apply({"params": params["encoder"]}, xm)[-1]
 
-    @jax.jit
-    def post(depth, frames_u8):
-        depth_s = resize_bilinear_strided(depth[..., None], H, W,
-                                          align_corners=True,
-                                          row_stride=2, col_stride=2)[..., 0]
-        rgb_s = frames_u8[:, ::2, ::2]
+    # mirror bench.py: back-project on the model depth grid, RGB from the
+    # bicubic-resized model input.
+    sx, sy = in_w / W, in_h / H
 
+    @jax.jit
+    def post(depth, rgb_m):
         def one(depth_i, rgb_i):
             return backproject_world(depth_i, rgb_i, eye, zero_t,
-                                     fx / 2, fy / 2, cx / 2, cy / 2,
+                                     fx * sx, fy * sy, cx * sx, cy * sy,
                                      1e-4, 1e6, 1.0, 1)
-        ps = jax.vmap(one)(depth_s, rgb_s)
+        ps = jax.vmap(one)(depth, rgb_m)
         n = ps.xyz.shape[0] * ps.xyz.shape[1]
         return PointSet(ps.xyz.reshape(n, 3), ps.rgb.reshape(n, 3),
                         ps.mask.reshape(n))
 
-    t_pre, xm = timeit(preprocess, frames, name="preprocess (resize+norm)")
+    t_pre, (xm, rgb_m) = timeit(preprocess, frames,
+                                name="preprocess (resize+norm)")
     t_fwd, depth = timeit(forward, params, xm, name="model forward")
     if os.environ.get("TXR_PROFILE_ENCODER"):
         timeit(forward_encoder, params, xm, name="encoder only")
-    t_post, flat = timeit(post, depth, frames, name="upsample+backproject")
+    t_post, flat = timeit(post, depth, rgb_m, name="backproject (model grid)")
 
     # insert: state is donated inside packed_map_insert; rebuild each reps
     vm = create_offset_map(1 << 21, 0.01)
