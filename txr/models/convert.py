@@ -197,18 +197,16 @@ def convert_state_dict(sd: Dict[str, np.ndarray], num_layers: int) -> Dict[str, 
         head[f"scratch_{i}"] = {"kernel": _conv(sd[f"neck.convs.{i}.weight"])}
 
     # HF fusion layer j consumes hidden state (3-j); ours: fusion_{3-j}.
+    # The deepest block (HF j=0 -> fusion_3) has no residual input, so its
+    # rcu1 never runs; HF checkpoints still SHIP those dead weights
+    # (residual_layer1 of fusion_stage.layers.0) — drop them so the
+    # converted tree is structurally identical to the model's init tree.
     for j in range(4):
         f = f"neck.fusion_stage.layers.{j}."
         dst = f"fusion_{3 - j}"
         head[dst] = {
             "project": {"kernel": _conv(sd[f + "projection.weight"]),
                         "bias": sd[f + "projection.bias"]},
-            "rcu1": {
-                "conv1": {"kernel": _conv(sd[f + "residual_layer1.convolution1.weight"]),
-                          "bias": sd[f + "residual_layer1.convolution1.bias"]},
-                "conv2": {"kernel": _conv(sd[f + "residual_layer1.convolution2.weight"]),
-                          "bias": sd[f + "residual_layer1.convolution2.bias"]},
-            },
             "rcu2": {
                 "conv1": {"kernel": _conv(sd[f + "residual_layer2.convolution1.weight"]),
                           "bias": sd[f + "residual_layer2.convolution1.bias"]},
@@ -216,6 +214,13 @@ def convert_state_dict(sd: Dict[str, np.ndarray], num_layers: int) -> Dict[str, 
                           "bias": sd[f + "residual_layer2.convolution2.bias"]},
             },
         }
+        if dst != "fusion_3":
+            head[dst]["rcu1"] = {
+                "conv1": {"kernel": _conv(sd[f + "residual_layer1.convolution1.weight"]),
+                          "bias": sd[f + "residual_layer1.convolution1.bias"]},
+                "conv2": {"kernel": _conv(sd[f + "residual_layer1.convolution2.weight"]),
+                          "bias": sd[f + "residual_layer1.convolution2.bias"]},
+            }
 
     for n, dst in ((1, "head_conv1"), (2, "head_conv2"), (3, "head_conv3")):
         head[dst] = {"kernel": _conv(sd[f"head.conv{n}.weight"]),
