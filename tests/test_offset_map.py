@@ -103,6 +103,65 @@ class TestOffsetMap:
         pts, _ = offset_map_points(p).to_numpy()
         assert np.isfinite(pts).all()
 
+    def test_no_drift_at_large_accumulated_weight(self):
+        """ADVICE r1 regression: with a heavily-loaded resident map (total
+        accumulated weight ~1.2e10, far beyond f32 prefix-sum exactness), an
+        insert must still recover exact per-voxel weights and accurate means
+        — the segmented scan's error scales with each segment's own sum, not
+        the map total. A global-cumsum + differencing implementation fails
+        this with weight errors in the hundreds."""
+        from txr.fusion.packed_map import pack_keys
+
+        cap = 1 << 18
+        nres = 200_000
+        p = create_offset_map(cap, 1.0)
+        # Spread over a 128x128x16 grid: per-axis coords must stay well
+        # inside the packed-key field widths.
+        i = np.arange(nres)
+        coord = lambda j: np.stack(
+            [j % 128, (j // 128) % 128, j // 16384], -1).astype(np.float32)
+        kx = jnp.asarray(i % 128, jnp.int32)
+        ky = jnp.asarray((i // 128) % 128, jnp.int32)
+        kz = jnp.asarray(i // 16384, jnp.int32)
+        khi, klo = pack_keys(kx, ky, kz, jnp.ones(nres, bool))
+        q = lambda f: int(f * 65536)
+        oxy = jnp.full((nres,), (q(0.25) << 16) | q(0.5), jnp.int32)
+        ozw = jnp.full((nres,), (q(0.75) << 16) | 60000, jnp.int32)
+        rgb31 = (q(0.5) >> 5 << 21) | (q(0.5) >> 5 << 10) | (q(0.5) >> 6)
+        p = p._replace(
+            khi=p.khi.at[:nres].set(khi), klo=p.klo.at[:nres].set(klo),
+            oxy=p.oxy.at[:nres].set(oxy), ozw=p.ozw.at[:nres].set(ozw),
+            rgb=p.rgb.at[:nres].set(jnp.full((nres,), rgb31, jnp.int32)))
+
+        # New points: one in a LATE voxel in key order (prefix magnitude
+        # maximal there) and one in a fresh voxel beyond all residents.
+        touched = coord(np.array([nres - 1]))[0]
+        fresh = coord(np.array([nres + 7]))[0]
+        pts = PointSet(
+            jnp.asarray([touched + 0.5, fresh + 0.5], jnp.float32),
+            jnp.asarray([[0.5, 0.5, 0.5], [0.25, 0.5, 0.75]], jnp.float32),
+            jnp.ones(2, bool))
+        p2 = offset_map_insert(p, pts)
+
+        assert int(offset_map_size(p2)) == nres + 1
+        w = np.asarray(p2.ozw).astype(np.uint32) & 0xFFFF
+        occ = w > 0
+        wocc = w[occ]
+        # Exact weights: untouched voxels 60000, touched 60001, new voxel 1.
+        assert (wocc == 60000).sum() == nres - 1
+        assert (wocc == 60001).sum() == 1
+        assert (wocc == 1).sum() == 1
+        qpts, qcols = offset_map_points(p2).to_numpy()
+        # The new singleton voxel: mean == the point itself.
+        new_sel = np.argmin(np.abs(qpts - (fresh + 0.5)).sum(1))
+        assert np.allclose(qpts[new_sel], fresh + 0.5, atol=2e-4)
+        assert np.allclose(qcols[new_sel], [0.25, 0.5, 0.75], atol=0.01)
+        # The touched resident voxel: mean moves by ~(new-old)/60001.
+        sel = np.argmin(np.abs(qpts - (touched + 0.3)).sum(1))
+        exp = (np.array([0.25, 0.5, 0.75]) * 60000 +
+               np.array([0.5, 0.5, 0.5])) / 60001
+        assert np.allclose(qpts[sel] - touched, exp, atol=2e-4)
+
     def test_overflow_drops_highest_keys(self):
         rng = np.random.default_rng(3)
         xyz = rng.uniform(0, 10, (2000, 3)).astype(np.float32)

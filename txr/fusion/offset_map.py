@@ -11,9 +11,12 @@ shrinking the insert's dominant sort to 2 keys + 3 payload columns:
   rgb      : r<<21 | g<<10 | b — mean color, 11/11/10-bit fixed point on
              [0, 1] (quantization <= 0.25 of an 8-bit gray level)
 
-Numerics: the insert's segment sums accumulate WEIGHTED OFFSETS (off * w,
-bounded by the u16 weight), so cumsum magnitudes are scene-independent —
-unlike raw world positions, whose prefix sums grow with |xyz| and row count.
+Numerics: the insert reduces with a SEGMENTED scan (txr/ops/scan.py), so
+rounding scales with each segment's own sum (~1e-7 relative) — independent
+of total accumulated map weight and of session length. (A global prefix +
+adjacent differences would grow with total weight, up to capacity*65535
+~1.4e11 in a long capture, leaving absolute errors of hundreds per segment
+— the round-1 advisor finding.)
 Weight saturates at 65535 (the reference's Open3D voxel_down_sample exposes
 only means, not counts — depth_to_reconstruction.py:413-415); re-quantizing
 a stable mean is a fixed point of floor(mean * 2^bits) with midpoint dequant,
@@ -33,7 +36,7 @@ import jax.numpy as jnp
 
 from txr.core.types import PointSet
 from txr.fusion.packed_map import pack_keys, unpack_keys
-from txr.ops.scan import matmul_cumsum
+from txr.ops.scan import segmented_cumsum_cols
 from txr.ops.segment import INT_MAX
 
 
@@ -139,7 +142,7 @@ def _reduce_packed(cols, cap: int, voxel_size) -> OffsetVoxelMap:
     w = (u_ozw & 0xFFFF).astype(jnp.float32)
     rr, gg, bb = _unpack_rgb(u_rgb)
     # Weighted contributions; invalid rows (w=0) contribute nothing.
-    scols = jnp.stack([
+    wcols = (
         _dq16(u_oxy >> 16) * w,
         _dq16(u_oxy & 0xFFFF) * w,
         _dq16(u_ozw >> 16) * w,
@@ -147,19 +150,27 @@ def _reduce_packed(cols, cap: int, voxel_size) -> OffsetVoxelMap:
         gg * w,
         bb * w,
         w,
-    ], axis=1)
+    )
 
     last = ((skhi != jnp.roll(skhi, -1)) | (sklo != jnp.roll(sklo, -1))
             ).at[n - 1].set(True)
-    csum = matmul_cumsum(scols)
+    starts = jnp.roll(last, 1)  # row 0 rolls in last[n-1] == True
 
-    # Compaction first, then the epilogue on `cap` rows. Gather shapes are
+    # SEGMENTED scan, not global-cumsum + adjacent differences: a global f32
+    # prefix grows with TOTAL accumulated map weight (capacity*65535 ~ 1.4e11
+    # over a long capture), and segment sums recovered as prefix differences
+    # then carry absolute errors of hundreds — corrupting means and the
+    # wgt>0 occupancy test (ADVICE r1). The segmented scan resets at each
+    # segment start, so rounding scales with the segment's OWN sum
+    # (~1e-7 relative) regardless of session length. The value at a
+    # segment's END row is exactly that segment's total.
+    seg = segmented_cumsum_cols(wcols, starts)
+    csum = jnp.stack(seg, axis=1)
+
+    # Compaction: gather segment-end rows to the front. Gather shapes are
     # the whole cost here (tools/bench_gather.py): single-column gathers are
     # poison (21-37 ms EACH at 2M rows), interleaved row gathers amortize —
-    # so gather csum as one (cap, 7) row gather and the two key columns as
-    # one (cap, 2) row gather from a stacked table, then difference
-    # consecutive compacted rows (perm_c is ascending, so the previous
-    # compacted row IS the previous segment end).
+    # so gather the (cap, 7) totals and (cap, 2) keys as row gathers.
     pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     order = jnp.where(last, pos, jnp.int32(n))
     # top_k(-order) = first `cap` segment-end positions in key order
@@ -170,8 +181,7 @@ def _reduce_packed(cols, cap: int, voxel_size) -> OffsetVoxelMap:
     keys2 = jnp.stack([skhi, sklo], axis=1)
     krows = keys2[perm_c]                 # (cap, 2) interleaved gather
     ends = csum[perm_c]                   # (cap, 7) interleaved gather
-    prev = jnp.concatenate([jnp.zeros((1, 7), ends.dtype), ends[:-1]], axis=0)
-    sums = jnp.where(is_seg[:, None], ends - prev, 0.0)
+    sums = jnp.where(is_seg[:, None], ends, 0.0)
 
     wgt = sums[:, 6]
     denom = jnp.maximum(wgt, 1.0)

@@ -38,9 +38,12 @@ _ROWS = 8         # sublane-aligned row count; callers use <= 8 columns
 
 
 def _segscan_kernel(f_ref, v_ref, o_ref, carry_ref):
-    i = pl.program_id(0)
+    # 2-D grid (axon rejects any single grid DIMENSION >= 128; bench scale is
+    # ~160 blocks). TPU grids iterate sequentially, last dim fastest, so the
+    # VMEM carry still flows in block order; init fires on the first step.
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
-    @pl.when(i == 0)
+    @pl.when(first)
     def _init():
         carry_ref[...] = jnp.zeros_like(carry_ref)
 
@@ -59,21 +62,35 @@ def _segscan_kernel(f_ref, v_ref, o_ref, carry_ref):
     carry_ref[...] = out[:, -1:]
 
 
+def _grid2d(blocks: int):
+    """Factor a block count into a (g1, g2) grid with both dims < 128."""
+    g1 = -(-blocks // 127)
+    g2 = -(-blocks // g1)
+    return g1, g2
+
+
 @functools.partial(jax.jit, static_argnames=("block",))
 def _segscan_tpu(vals8: jnp.ndarray, flags: jnp.ndarray, block: int):
     n = vals8.shape[1]
-    grid = n // block
-    return pl.pallas_call(
+    g1, g2 = _grid2d(n // block)
+    npad = g1 * g2 * block
+    if npad != n:
+        # Pad lanes: flag=1 starts a throwaway segment, values 0.
+        vals8 = jnp.pad(vals8, ((0, 0), (0, npad - n)))
+        flags = jnp.pad(flags, ((0, 0), (0, npad - n)), constant_values=1.0)
+    idx = lambda i, j: (0, i * g2 + j)
+    out = pl.pallas_call(
         _segscan_kernel,
-        grid=(grid,),
+        grid=(g1, g2),
         in_specs=[
-            pl.BlockSpec((1, block), lambda i: (0, i)),
-            pl.BlockSpec((_ROWS, block), lambda i: (0, i)),
+            pl.BlockSpec((1, block), idx),
+            pl.BlockSpec((_ROWS, block), idx),
         ],
-        out_specs=pl.BlockSpec((_ROWS, block), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct(vals8.shape, vals8.dtype),
+        out_specs=pl.BlockSpec((_ROWS, block), idx),
+        out_shape=jax.ShapeDtypeStruct((vals8.shape[0], npad), vals8.dtype),
         scratch_shapes=[pltpu.VMEM((_ROWS, 1), jnp.float32)],
     )(flags, vals8)
+    return out[:, :n]
 
 
 def segmented_cumsum_cols(cols: Tuple[jnp.ndarray, ...],
@@ -87,8 +104,12 @@ def segmented_cumsum_cols(cols: Tuple[jnp.ndarray, ...],
     d = len(cols)
     assert 1 <= d <= _ROWS
     n = cols[0].shape[0]
-    platform = cols[0].devices().pop().platform if hasattr(cols[0], "devices") \
-        else jax.default_backend()
+    try:
+        # Concrete arrays: dispatch on their actual placement.
+        platform = cols[0].devices().pop().platform
+    except Exception:
+        # Tracers (inside jit) have no placement yet; use the process default.
+        platform = jax.default_backend()
     if not _HAS_PLTPU or platform not in ("tpu", "axon"):
         from txr.ops.segment import segmented_cumsum
         out = segmented_cumsum(jnp.stack(cols, axis=1), starts)
