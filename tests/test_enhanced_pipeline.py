@@ -139,9 +139,21 @@ class TestEnhancedEndToEnd:
         assert len(poses) == 3
         assert len(rec.camera_poses) >= 2
 
-    def test_reconstruct_with_synthetic_depth_model(self, tmp_path):
-        """Full path with a fake depth model (constant plane depth)."""
+    @pytest.mark.parametrize("backend", ["cv2", "device"])
+    def test_reconstruct_with_synthetic_depth_model(self, tmp_path,
+                                                    monkeypatch, backend):
+        """Full path with a fake depth model (constant plane depth), on both
+        feature backends; the device run must make zero cv2 feature calls
+        (VERDICT r1 item 3)."""
         from txr.pipelines.enhanced_pipeline import DepthEnhancedReconstruction
+        if backend == "device":
+            for name in ("SIFT_create", "ORB_create", "createCLAHE",
+                         "createLineSegmentDetector", "Canny"):
+                monkeypatch.setattr(
+                    cv2, name,
+                    lambda *a, _n=name, **k: (_ for _ in ()).throw(
+                        AssertionError(f"cv2.{_n} called on device backend")),
+                    raising=False)
 
         class FakeDepthModel:
             def infer(self, img, intr=None):
@@ -164,7 +176,8 @@ class TestEnhancedEndToEnd:
         K = np.array([[130.0, 0, 80], [0, 130.0, 60], [0, 0, 1]])
         rec = DepthEnhancedReconstruction(K, use_depth=True, use_hybrid_features=True,
                                           depth_model=FakeDepthModel(), verbose=False,
-                                          subsample=4, voxel_size=0.05)
+                                          subsample=4, voxel_size=0.05,
+                                          feature_backend=backend)
         rec.load_images(str(folder))
         result = rec.reconstruct(output_dir=str(tmp_path / "out"))
         assert result is not None

@@ -77,14 +77,31 @@ def scene_dirs(tmp_path_factory):
     return str(rgb_dir), str(depth_dir)
 
 
+_backend_clouds = {}  # backend -> fused points, for cross-backend comparison
+
+
 class TestFusionPipeline:
-    def test_end_to_end(self, scene_dirs, tmp_path):
+    @pytest.mark.parametrize("backend", ["cv2", "device"])
+    def test_end_to_end(self, scene_dirs, tmp_path, monkeypatch, backend):
         rgb_dir, depth_dir = scene_dirs
+        if backend == "device":
+            # Tripwire: the device backend must make ZERO cv2 feature calls
+            # (VERDICT r1 item 3) — the full RGB→features→pose→fused-PLY
+            # path runs on the TPU-native kernels.
+            for name in ("SIFT_create", "ORB_create", "createCLAHE",
+                         "createLineSegmentDetector", "Canny"):
+                monkeypatch.setattr(
+                    cv2, name,
+                    lambda *a, _n=name, **k: (_ for _ in ()).throw(
+                        AssertionError(f"cv2.{_n} called on device backend")),
+                    raising=False)
         cfg = ReconstructionConfig(
             fx=FX, fy=FY, cx=CX, cy=CY,
             voxel_size=0.05, subsample_factor=4,
         )
-        pipe = DepthToReconstructionPipeline(cfg, feature_capacity=4096, verbose=False)
+        pipe = DepthToReconstructionPipeline(cfg, feature_capacity=4096,
+                                             verbose=False,
+                                             feature_backend=backend)
         assert pipe.load_data(rgb_dir, depth_dir) == 3
 
         points, colors, poses = pipe.reconstruct()
@@ -106,6 +123,17 @@ class TestFusionPipeline:
         pipe.save_reconstruction(points, colors, out)
         rx, rc = read_ply(out)
         assert rx.shape[0] == len(points)
+
+        # Cross-backend agreement: both backends must reconstruct the same
+        # scene (one-sided chamfer in units of the recovered scene scale).
+        _backend_clouds[backend] = points
+        if len(_backend_clouds) == 2:
+            a, b = _backend_clouds["device"], _backend_clouds["cv2"]
+            sub = a[np.random.default_rng(0).choice(len(a), 800, replace=False)]
+            d = np.sqrt(((sub[:, None] - b[None]) ** 2).sum(-1)).min(1)
+            scene = np.percentile(b[:, 2], 85)
+            assert np.median(d) / scene < 0.01, (
+                f"device vs cv2 cloud diverges: median nn dist {np.median(d):.3f}")
 
     def test_insufficient_images(self, tmp_path):
         cfg = ReconstructionConfig()

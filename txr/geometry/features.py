@@ -24,9 +24,24 @@ try:
 except ImportError:  # pragma: no cover
     CV2_AVAILABLE = False
 
+import jax
 import jax.numpy as jnp
 
 from txr.ops.matching import match_l2_ratio, match_hamming_ratio, unpack_bits
+
+
+def resolve_backend(backend: str) -> str:
+    """Resolve 'auto' to a concrete feature backend.
+
+    On an accelerator ('tpu'/'axon') the TPU-native kernels are the default
+    — the whole RGB→features→pose→fusion path stays on device. On CPU, cv2's
+    C++ kernels (the reference's substrate, depth_to_reconstruction.py:133)
+    win when installed; the device ops remain the fallback."""
+    if backend != "auto":
+        return backend
+    if jax.default_backend() != "cpu":
+        return "device"
+    return "cv2" if CV2_AVAILABLE else "device"
 
 
 @dataclass
@@ -77,8 +92,7 @@ class SIFTDetector:
         capacity: int = 8192,
         backend: str = "auto",
     ):
-        if backend == "auto":
-            backend = "cv2" if CV2_AVAILABLE else "device"
+        backend = resolve_backend(backend)
         self.backend = backend
         self.use_clahe = use_clahe
         self.contrast_threshold = contrast_threshold
@@ -139,8 +153,7 @@ class ORBDetector:
 
     def __init__(self, n_features: int = 2000, n_levels: int = 8,
                  capacity: int = 2048, backend: str = "auto"):
-        if backend == "auto":
-            backend = "cv2" if CV2_AVAILABLE else "device"
+        backend = resolve_backend(backend)
         self.backend = backend
         self.n_levels = n_levels
         self.capacity = capacity

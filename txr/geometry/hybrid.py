@@ -53,8 +53,8 @@ class HybridFeatureDetector:
                  use_lines: bool = True, use_edges: bool = True,
                  sift_capacity: int = 3072, orb_capacity: int = 2048,
                  verbose: bool = True, backend: str = "auto"):
-        if backend == "auto":
-            backend = "cv2" if CV2_AVAILABLE else "device"
+        from txr.geometry.features import resolve_backend
+        backend = resolve_backend(backend)
         self.backend = backend
         self.use_sift = use_sift
         self.use_orb = use_orb
