@@ -55,10 +55,27 @@ def _param_spec(path: tuple, leaf) -> P:
     return P()
 
 
+def _check_divisible(path, leaf, spec: P, tp: int):
+    """Build-time validation: every tp-sharded dim must divide evenly, so
+    shape errors fire here instead of at dispatch on hardware."""
+    for axis, name in enumerate(spec):
+        if name is None:
+            continue
+        axes = (name,) if isinstance(name, str) else name
+        if "tp" in axes and leaf.shape[axis] % tp != 0:
+            keys = "/".join(getattr(k, "key", str(k)) for k in path)
+            raise ValueError(
+                f"param {keys} dim {axis} ({leaf.shape[axis]}) not divisible "
+                f"by tp={tp}")
+
+
 def shard_params(params, mesh: Mesh):
     """Place a params pytree on the mesh under the TP rules."""
+    tp = mesh.shape.get("tp", 1)
+
     def place(path, leaf):
         spec = _param_spec(path, leaf)
+        _check_divisible(path, leaf, spec, tp)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
