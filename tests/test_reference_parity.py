@@ -24,9 +24,55 @@ import numpy as np
 import pytest
 
 REF_CLI = "/root/reference/depth_to_reconstruction.py"
+REF_ENH = "/root/reference/depth_enhanced_reconstruction.py"
+REF_DP = "/root/reference/depth_processor.py"
 
 pytestmark = pytest.mark.skipif(not os.path.exists(REF_CLI),
                                 reason="reference checkout not mounted")
+
+
+def _load_reference_module(path, name):
+    """Import a reference script under an alias (our repo root shadows the
+    same filenames).
+
+    The reference's ROS2DepthPublisher class statement inherits `Node`
+    unconditionally (depth_processor.py:665), so without rclpy the module
+    cannot even import — a reference bug. Inject inert stand-in modules for
+    the ROS2 stack; nothing touches them with enable_ros2=False."""
+    import importlib.util
+    import types
+
+    stubs = {}
+    def stub(modname, **attrs):
+        if modname in sys.modules:
+            return
+        m = types.ModuleType(modname)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        stubs[modname] = m
+
+    class _Node:  # placeholder base class only
+        pass
+
+    stub("rclpy", init=lambda *a, **k: None)
+    stub("rclpy.node", Node=_Node)
+    stub("sensor_msgs", )
+    stub("sensor_msgs.msg", Image=object, PointCloud2=object,
+         PointField=object, CameraInfo=object)
+    stub("std_msgs", )
+    stub("std_msgs.msg", Header=object)
+    stub("cv_bridge", CvBridge=object)
+    stub("sensor_msgs_py", )
+    stub("sensor_msgs_py.point_cloud2", )
+    sys.modules.update(stubs)
+    try:
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        for k in stubs:
+            sys.modules.pop(k, None)
+    return mod
 
 
 def one_sided_chamfer(a, b):
@@ -71,3 +117,141 @@ class TestReferenceParity:
         # and we must NOT have lost the far plane the reference drops
         zspan = points[:, 2].max() - points[:, 2].min()
         assert zspan > 15.0, f"z span {zspan} — far plane missing"
+
+    def test_depth_processor_artifacts_match_reference(self, tmp_path):
+        """VERDICT r1 item 8: run the ACTUAL reference depth_processor main
+        loop (source -> model.infer -> _save_depth -> PointCloudGenerator)
+        against ours with an identical stub depth model, and pin artifact
+        parity: raw .npy, 16-bit mm PNG encoding, colormap PNG pixels, and
+        backprojected point geometry (reference depth_processor.py:850-934).
+
+        The stub model stands in for the network (no weights offline); both
+        sides get the same deterministic depth, so every downstream artifact
+        must agree."""
+        import cv2
+
+        class StubModel:
+            def infer(self, image, intrinsics=None):
+                g = image.mean(axis=2).astype(np.float32)
+                return 0.5 + 4.0 * g / 255.0
+
+        rng = np.random.default_rng(5)
+        frames = tmp_path / "frames"
+        frames.mkdir()
+        for i in range(2):
+            img = rng.integers(0, 255, (60, 80, 3), dtype=np.uint8)
+            cv2.imwrite(str(frames / f"fr_{i:02d}.png"), img)
+
+        ref_mod = _load_reference_module(REF_DP, "ref_depth_processor")
+        ref_out = tmp_path / "ref_out"
+        src = ref_mod.FolderSource(str(frames))
+        proc = ref_mod.DepthProcessor(
+            model=StubModel(), source=src, output_dir=str(ref_out),
+            mode="both", pointcloud_downsample=2, max_depth=10.0,
+            min_depth=0.1)
+        proc.process(show_preview=False)
+
+        from txr.io.sources import FolderSource as OurFolderSource
+        from txr.pipelines.depth_pipeline import DepthProcessor as OurProcessor
+
+        our_out = tmp_path / "our_out"
+        osrc = OurFolderSource(str(frames))
+        oproc = OurProcessor(
+            model=StubModel(), source=osrc, output_dir=str(our_out),
+            mode="both", pointcloud_downsample=2, max_depth=10.0,
+            min_depth=0.1)
+        oproc.process(show_preview=False)
+
+        for i in range(2):
+            stem = f"fr_{i:02d}"
+            # raw float depth
+            ref_npy = np.load(ref_out / "depth_images" / f"{stem}_depth.npy")
+            our_npy = np.load(our_out / "depth_images" / f"{stem}_depth.npy")
+            np.testing.assert_array_equal(our_npy, ref_npy)
+            # 16-bit millimeter PNG: identical encoding
+            ref_mm = cv2.imread(str(ref_out / "depth_images" / f"{stem}_depth.png"),
+                                cv2.IMREAD_ANYDEPTH)
+            our_mm = cv2.imread(str(our_out / "depth_images" / f"{stem}_depth.png"),
+                                cv2.IMREAD_ANYDEPTH)
+            assert ref_mm.dtype == our_mm.dtype == np.uint16
+            np.testing.assert_array_equal(our_mm, ref_mm)
+            # colormap visualization pixels
+            ref_vis = cv2.imread(str(ref_out / "visualizations" / f"{stem}_depth_vis.png"))
+            our_vis = cv2.imread(str(our_out / "visualizations" / f"{stem}_depth_vis.png"))
+            np.testing.assert_array_equal(our_vis, ref_vis)
+
+        # Geometry: the reference's PLY writer no-ops without Open3D, so
+        # compare its PointCloudGenerator.generate() output directly to the
+        # per-frame PLY our pipeline wrote.
+        img = cv2.imread(str(frames / "fr_00.png"))
+        depth = StubModel().infer(img)
+        ref_pts, ref_cols = proc.pc_generator.generate(depth, img, 10.0, 0.1)
+        from txr.io.ply import read_ply
+        our_pts, our_cols = read_ply(str(our_out / "pointclouds" / "fr_00.ply"))
+        assert len(our_pts) == len(ref_pts)
+        np.testing.assert_allclose(our_pts, ref_pts, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(our_cols, ref_cols, atol=1.5 / 255.0)
+
+    def test_enhanced_cli_sparse_parity(self, tmp_path):
+        """VERDICT r1 item 8: black-box run of the reference
+        depth_enhanced_reconstruction CLI (feature-only --no-depth path, CPU)
+        vs our pipeline on the same textured scene; the sparse SfM clouds
+        must agree up to the (arbitrary) monocular scale
+        (reference depth_enhanced_reconstruction.py:1054-1249)."""
+        import cv2
+
+        rng = np.random.default_rng(11)
+        folder = tmp_path / "imgs"
+        folder.mkdir()
+        base = np.full((180, 240, 3), 90, np.uint8)
+        for _ in range(60):
+            c = rng.integers(0, 255, 3).tolist()
+            p = (int(rng.integers(10, 230)), int(rng.integers(10, 170)))
+            cv2.rectangle(base, p, (p[0] + 9, p[1] + 7), c, -1)
+        for i, dx in enumerate([0, 8, 16]):
+            M = np.float32([[1, 0, dx], [0, 1, 0]])
+            cv2.imwrite(str(folder / f"im_{i}.png"),
+                        cv2.warpAffine(base, M, (240, 180)))
+
+        fx = fy = 200.0
+        cx, cy = 120.0, 90.0
+        # --no-hybrid: the reference's hybrid path crashes on this cv2
+        # version (LSD detect returns (N,4), its unpack expects (N,1,4) —
+        # depth_enhanced_reconstruction.py line-endpoint loop), so the
+        # CPU-runnable black-box surface is the SIFT-only fallback
+        # (:988-1027), matched on our side with use_hybrid_features=False.
+        ref_out = tmp_path / "ref_out"
+        r = subprocess.run(
+            [sys.executable, REF_ENH, "--input", str(folder),
+             "--output", str(ref_out), "--fx", str(fx), "--fy", str(fy),
+             "--cx", str(cx), "--cy", str(cy), "--no-depth", "--no-hybrid"],
+            capture_output=True, text=True, timeout=900, cwd=str(tmp_path),
+            env={**os.environ, "MPLBACKEND": "Agg"})
+        assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-2000:])
+        ref_ply = ref_out / "reconstruction.ply"
+        assert ref_ply.exists()
+
+        from txr.pipelines.enhanced_pipeline import DepthEnhancedReconstruction
+        from txr.io.ply import read_ply
+
+        K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+        rec = DepthEnhancedReconstruction(K, use_depth=False,
+                                          use_hybrid_features=False,
+                                          verbose=False)
+        rec.load_images(str(folder))
+        result = rec.reconstruct(output_dir=str(tmp_path / "our_out"))
+        assert result is not None
+        our_pts = result[0]
+
+        ref_pts, _ = read_ply(str(ref_ply))
+        assert len(ref_pts) > 20 and len(our_pts) > 20
+
+        def normalize(p):
+            c = p - np.median(p, axis=0)
+            s = np.median(np.linalg.norm(c, axis=1))
+            return c / max(s, 1e-9)
+
+        d = one_sided_chamfer(normalize(ref_pts), normalize(our_pts))
+        # Sparse SfM on the same scene with the same cv2 detectors; residual
+        # comes from RANSAC draws and inlier-set differences.
+        assert d < 0.35, f"normalized one-sided chamfer ref->ours = {d}"
