@@ -53,9 +53,18 @@ class StreamingConfig:
 
     voxel_size: float = 0.01
     max_map_points: int = 2_000_000
-    keyframe_every: int = 1
+    keyframe_every: int = 5
     icp_iterations: int = 10
     icp_max_correspondence: float = 0.1
     min_depth: float = 0.1
     max_depth: float = 10.0
     subsample_factor: int = 2
+    # Loop closure (rtabmap_slam's role in the reference launch graph,
+    # slam.launch.py:126-145): match new keyframes against old ones, add a
+    # pose-graph constraint on a hit, re-optimize, re-fuse the map.
+    loop_closure: bool = True
+    loop_min_separation: int = 8     # keyframes between loop candidates
+    loop_stride: int = 2             # check every k-th old keyframe
+    loop_inliers: int = 30           # inlier bar for accepting a loop edge
+    loop_weight: float = 5.0         # loop-edge weight vs odometry edges
+    kf_cloud_points: int = 16384     # stored per-keyframe cloud budget

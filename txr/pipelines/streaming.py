@@ -16,6 +16,15 @@ matches when available; ICP against the map refines/replaces it when feature
 matching fails (the textureless case this whole project exists for). Failed
 frames are skipped and the stream continues (reference resilience model,
 SURVEY §5.3).
+
+Loop closure (rtabmap_slam's role, slam.launch.py:126-145): every
+`keyframe_every` fused frames a keyframe stores features + a camera-frame
+cloud; new keyframes are matched against old ones (skipping the most recent
+`loop_min_separation`), an accepted match becomes a pose-graph constraint,
+the keyframe trajectory is re-optimized by SE(3) Gauss-Newton
+(txr/geometry/pose_graph.py), corrections propagate to in-between frames,
+and the voxel map is re-fused from the keyframe clouds at the corrected
+poses.
 """
 
 from __future__ import annotations
@@ -41,6 +50,7 @@ from txr.fusion.sorted_map import (
     sorted_map_points,
     sorted_map_size,
 )
+from txr.geometry.pose_graph import optimize_pose_graph
 from txr.ops.backproject import backproject_world
 from txr.pipelines.fusion_pipeline import pair_step
 from txr.io.ply import write_ply
@@ -83,6 +93,10 @@ class StreamingReconstructor:
         self._key = jax.random.PRNGKey(0)
         self.frames_processed = 0
         self.frames_skipped = 0
+        # Loop closure state: keyframes carry features + a camera-frame
+        # cloud so the map can be re-fused after graph optimization.
+        self.keyframes: List[dict] = []
+        self.loops_closed = 0
 
     def _log(self, msg):
         if self.verbose:
@@ -147,6 +161,116 @@ class StreamingReconstructor:
         R_new = R_w2c @ Rc_np.T
         t_new = t_w2c - R_new @ tc_np
         return R_new, t_new, float(rmse)
+
+    # ----------------------------------------------------------- loop closure
+
+    def _camera_cloud(self, depth, bgr) -> PointSet:
+        """Subsampled CAMERA-frame cloud (pose-independent keyframe store)."""
+        ps = backproject_world(
+            jnp.asarray(depth), jnp.asarray(bgr)[..., ::-1],
+            jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+            self.intr.fx, self.intr.fy, self.intr.cx, self.intr.cy,
+            self.cfg.min_depth, self.cfg.max_depth,
+            self.scale if not self.metric_depth else 1.0,
+            self.cfg.subsample_factor,
+        )
+        step = max(1, ps.capacity // self.cfg.kf_cloud_points)
+        cap = self.cfg.kf_cloud_points
+        return PointSet(np.asarray(ps.xyz[::step][:cap]),
+                        np.asarray(ps.rgb[::step][:cap]),
+                        np.asarray(ps.mask[::step][:cap]))
+
+    def _try_loop_edge(self, feats, depth):
+        """Match the new keyframe against old ones; return
+        (old_kf_index, R_rel, t_rel_world) or None."""
+        sep = self.cfg.loop_min_separation
+        if len(self.keyframes) <= sep:
+            return None
+        K = jnp.asarray(self.intr.to_matrix().astype(np.float32))
+        for ki in range(0, len(self.keyframes) - sep, self.cfg.loop_stride):
+            kf = self.keyframes[ki]
+            uv1, uv2, mask = match_features(kf["features"], feats, ratio=0.75)
+            if int(np.asarray(mask).sum()) < self.cfg.loop_inliers:
+                continue
+            R, t, X, valid, n_inl = pair_step(
+                jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(mask), K,
+                self._next_key(), 2.0, self.cfg.min_depth,
+                self.cfg.max_depth * 10)
+            if int(n_inl) < self.cfg.loop_inliers:
+                continue
+            # pair_step translation is unit-baseline; convert to world units
+            # through the depth anchor: X_loop ≈ s_loop·depth while the
+            # world is scale·depth, so t_world = t · scale/s_loop.
+            if int(jnp.sum(valid)) < 5:
+                continue
+            X_curr = X @ R.T + t
+            s_loop = float(clamp_scale(estimate_scale(
+                X_curr, jnp.asarray(uv2), valid, jnp.asarray(depth))))
+            s_world = self.scale if not self.metric_depth else 1.0
+            t_world = np.asarray(t, np.float64) * (s_world / max(s_loop, 1e-9))
+            self._log(f"  loop closure: keyframe {ki} <-> new "
+                      f"({int(n_inl)} inliers, scale {s_world/s_loop:.3f})")
+            return ki, np.asarray(R, np.float64), t_world
+        return None
+
+    def _close_loop(self, old_ki: int, R_rel, t_rel):
+        """Optimize the keyframe pose graph with the new loop edge, propagate
+        corrections to in-between frames, and re-fuse the map."""
+        kfs = self.keyframes
+        nodes = [self.poses[kf["pose_idx"]] for kf in kfs]
+        edges = []
+        for a in range(len(kfs) - 1):
+            Ra, ta = nodes[a]
+            Rb, tb = nodes[a + 1]
+            R_ab = Rb @ Ra.T
+            t_ab = tb - R_ab @ ta
+            edges.append((a, a + 1, R_ab, t_ab, 1.0))
+        edges.append((old_ki, len(kfs) - 1, R_rel, t_rel,
+                      self.cfg.loop_weight))
+        opt = optimize_pose_graph(nodes, edges, fixed=0)
+
+        # Propagate each keyframe's correction to its trailing segment.
+        for a, kf in enumerate(kfs):
+            Ro, to = nodes[a]
+            Rn, tn = opt[a]
+            # X_c = R X_w + t; correction C with T_new = C @ T_old.
+            Rc = Rn @ Ro.T
+            tc = tn - Rc @ to
+            lo = kf["pose_idx"]
+            hi = kfs[a + 1]["pose_idx"] if a + 1 < len(kfs) else len(self.poses)
+            for p in range(lo, hi):
+                Rp, tp = self.poses[p]
+                self.poses[p] = ((Rc @ Rp).astype(np.float32),
+                                 (Rc @ tp + tc).astype(np.float32))
+        self._rebuild_map()
+        self.loops_closed += 1
+
+    def _rebuild_map(self):
+        """Re-fuse the voxel map from keyframe clouds at corrected poses."""
+        self.map = create_sorted_map(self.map.kx.shape[0],
+                                     float(self.map.voxel_size))
+        for kf in self.keyframes:
+            R, t = self.poses[kf["pose_idx"]]
+            cloud = kf["cloud"]
+            xyz_w = (cloud.xyz - t[None, :]) @ R  # R.T @ (X_c - t), row form
+            ps = PointSet(jnp.asarray(xyz_w.astype(np.float32)),
+                          jnp.asarray(cloud.rgb),
+                          jnp.asarray(cloud.mask))
+            self.map = sorted_map_insert(self.map, ps)
+
+    def _maybe_keyframe(self, feats, depth, bgr):
+        if not self.cfg.loop_closure:
+            return
+        if (self.frames_processed - 1) % self.cfg.keyframe_every != 0:
+            return
+        loop = self._try_loop_edge(feats, depth)
+        self.keyframes.append({
+            "pose_idx": len(self.poses) - 1,
+            "features": feats,
+            "cloud": self._camera_cloud(depth, bgr),
+        })
+        if loop is not None:
+            self._close_loop(loop[0], loop[1], loop[2])
 
     # ------------------------------------------------------------------ API
 
@@ -214,6 +338,7 @@ class StreamingReconstructor:
         self._prev_features = feats
         self._prev_depth = depth
         self.frames_processed += 1
+        self._maybe_keyframe(feats, depth, bgr)
         return True
 
     def run(self, source, max_frames: Optional[int] = None) -> int:
