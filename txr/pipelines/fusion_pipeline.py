@@ -76,7 +76,8 @@ def pair_step(
     plane (~80%) and decomposes to the exact pose.
     """
     from txr.geometry.homography import (homography_ransac,
-                                         recover_pose_homography)
+                                         recover_pose_homography,
+                                         transfer_error)
 
     kE, kH = jax.random.split(key)
     E, inliers_e = essential_ransac(
@@ -90,7 +91,14 @@ def pair_step(
     R_h, t_h, cheiral_h = recover_pose_homography(H, uv1, uv2, K, inliers_h)
 
     n_e = jnp.sum(inliers_e)
-    n_h = jnp.sum(inliers_h)
+    # Model selection rescores H at the SAME pixel threshold as E: the
+    # RANSAC fit above may use a looser threshold for robustness, but
+    # comparing raw counts measured under different thresholds inflates
+    # n_H and can pick the plane-only pose on a well-conditioned scene
+    # with a ~70%-dominant plane (ADVICE r1).
+    h_sel = match_mask & (transfer_error(H, uv1, uv2)
+                          < 2.0 * ransac_threshold ** 2)
+    n_h = jnp.sum(h_sel)
     use_h = n_h.astype(K.dtype) > 0.7 * n_e.astype(K.dtype)
 
     R = jnp.where(use_h, R_h, R_e)
