@@ -17,7 +17,13 @@ no numbers — BASELINE.md).
 
 Env knobs: TXR_BENCH_ENCODER (default vitl), TXR_BENCH_BATCH (default 16),
 TXR_BENCH_BATCHES (default 8), TXR_BENCH_QUANT (none|int8, default none —
-int8 runs the encoder denses as W8A8 MXU matmuls, txr/ops/quant.py).
+int8 runs the encoder denses as W8A8 MXU matmuls, txr/ops/quant.py),
+TXR_BENCH_FRAMES (random|tunnel — tunnel cycles the reference's committed
+exp_tunnel_set1 frames upscaled to 1080p for scene-realistic voxel
+occupancy), TXR_BENCH_WORKLOAD (grid|1080p — grid back-projects on the
+model's native 924x518 depth grid, the default since r1; 1080p reproduces
+the earlier rounds' stride-2 1080p-cloud workload for cross-round
+comparison). Non-default knobs are suffixed into the metric name.
 """
 
 import json
@@ -57,12 +63,14 @@ def main():
     batch = int(os.environ.get("TXR_BENCH_BATCH", "24"))
     n_batches = int(os.environ.get("TXR_BENCH_BATCHES", "6"))
     quant = os.environ.get("TXR_BENCH_QUANT", "none")
+    frames_kind = os.environ.get("TXR_BENCH_FRAMES", "random")
+    workload = os.environ.get("TXR_BENCH_WORKLOAD", "grid")
     H, W = 1080, 1920
     in_h, in_w = compute_da_resize(H, W, 518)
 
     log(f"bench: encoder={encoder} batch={batch} batches={n_batches} "
-        f"quant={quant} input {W}x{H} -> model {in_w}x{in_h} "
-        f"on {jax.devices()[0]}")
+        f"quant={quant} frames={frames_kind} workload={workload} "
+        f"input {W}x{H} -> model {in_w}x{in_h} on {jax.devices()[0]}")
 
     model, vit_cfg, dpt_cfg = build_model("v2", encoder, quant=quant)
     params = model.init(jax.random.PRNGKey(0),
@@ -94,12 +102,30 @@ def main():
         xn = ((xm - mean) / std).astype(jnp.bfloat16)
         depth = model.apply({"params": params}, xn).astype(jnp.float32)
 
-        def one(depth_i, rgb_i):
-            return backproject_world(depth_i, rgb_i, eye, zero_t,
-                                     fx * sx, fy * sy, cx * sx, cy * sy,
-                                     1e-4, 1e6, 1.0, 1)
+        if workload == "1080p":
+            # Legacy cross-round workload: bilinear-upsample depth to 1080p
+            # at stride 2 (the materialized points are the 1080p grid's
+            # even pixels), colors from the 1080p frame.
+            from txr.ops.resize import resize_bilinear_strided
 
-        ps = jax.vmap(one)(depth, xm)
+            d1080 = resize_bilinear_strided(depth[..., None], H, W,
+                                            align_corners=False,
+                                            row_stride=2, col_stride=2)[..., 0]
+            rgb = x[:, ::2, ::2]
+
+            def one(depth_i, rgb_i):
+                return backproject_world(depth_i, rgb_i, eye, zero_t,
+                                         fx / 2, fy / 2, cx / 2, cy / 2,
+                                         1e-4, 1e6, 1.0, 1)
+
+            ps = jax.vmap(one)(d1080, rgb)
+        else:
+            def one(depth_i, rgb_i):
+                return backproject_world(depth_i, rgb_i, eye, zero_t,
+                                         fx * sx, fy * sy, cx * sx, cy * sy,
+                                         1e-4, 1e6, 1.0, 1)
+
+            ps = jax.vmap(one)(depth, xm)
         n = ps.xyz.shape[0] * ps.xyz.shape[1]
         flat = PointSet(ps.xyz.reshape(n, 3), ps.rgb.reshape(n, 3),
                         ps.mask.reshape(n))
@@ -109,9 +135,20 @@ def main():
     # deployed pipeline; the tunnel's ~150 MB/s relay would otherwise be the
     # artifact being measured).
     rng = np.random.default_rng(0)
-    dev_frames = [jax.device_put(rng.integers(0, 255, (batch, H, W, 3),
-                                              dtype=np.uint8))
-                  for _ in range(2)]
+    if frames_kind == "tunnel":
+        import cv2
+
+        tdir = "/root/reference/input_folder/exp_tunnel_set1_images_2_fps"
+        files = sorted(os.path.join(tdir, f) for f in os.listdir(tdir)
+                       if f.endswith(".jpg"))
+        imgs = [cv2.resize(cv2.imread(f), (W, H)) for f in files[:2 * batch]]
+        stack = np.stack(imgs).astype(np.uint8)
+        dev_frames = [jax.device_put(stack[i * batch:(i + 1) * batch])
+                      for i in range(2)]
+    else:
+        dev_frames = [jax.device_put(rng.integers(0, 255, (batch, H, W, 3),
+                                                  dtype=np.uint8))
+                      for _ in range(2)]
 
     vmap_state = create_offset_map(1 << 21, 0.01)
 
@@ -134,8 +171,13 @@ def main():
     log(f"{frames} frames in {dt:.2f}s -> {fps:.2f} fps "
         f"({ms_per_frame:.1f} ms/frame), fused map {n_voxels} voxels")
 
+    suffix = ""
+    if frames_kind != "random":
+        suffix += f"_{frames_kind}"
+    if workload != "grid":
+        suffix += f"_wl{workload}"
     print(json.dumps({
-        "metric": f"e2e_1080p_depth_to_fused_pointcloud_fps_{encoder}",
+        "metric": f"e2e_1080p_depth_to_fused_pointcloud_fps_{encoder}{suffix}",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 30.0, 3),
