@@ -85,3 +85,67 @@ class TestNativeCompact:
         ox, oc = out
         np.testing.assert_array_equal(ox, xyz[mask])
         np.testing.assert_array_equal(oc, rgb[mask])
+
+
+class TestNativeJPEGDecode:
+    """C++ host decode stage (SURVEY §2.8 item 15): byte parity with cv2."""
+
+    def _jpeg_bytes(self, rng):
+        import cv2
+
+        img = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+        ok, enc = cv2.imencode(".jpg", img)
+        assert ok
+        return enc.tobytes()
+
+    def test_byte_parity_with_cv2(self, rng):
+        import cv2
+        from txr._native import native_decode_jpeg, get_lib
+
+        lib = get_lib()
+        if lib is None or not lib.txr_has_jpeg():
+            pytest.skip("native jpeg decoder unavailable")
+        data = self._jpeg_bytes(rng)
+        got = native_decode_jpeg(data)
+        ref = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+        np.testing.assert_array_equal(got, ref)
+
+    def test_reference_dataset_parity(self):
+        import glob
+        import cv2
+        from txr._native import native_decode_jpeg, get_lib
+
+        lib = get_lib()
+        if lib is None or not lib.txr_has_jpeg():
+            pytest.skip("native jpeg decoder unavailable")
+        files = sorted(glob.glob(
+            "/root/reference/input_folder/exp_tunnel_set1_images_2_fps/*.jpg"))
+        if not files:
+            pytest.skip("reference dataset not mounted")
+        for f in files[:3]:
+            data = open(f, "rb").read()
+            got = native_decode_jpeg(data)
+            ref = cv2.imdecode(np.frombuffer(data, np.uint8),
+                               cv2.IMREAD_COLOR)
+            np.testing.assert_array_equal(got, ref)
+
+    def test_garbage_returns_none(self):
+        from txr._native import native_decode_jpeg, get_lib
+
+        lib = get_lib()
+        if lib is None or not lib.txr_has_jpeg():
+            pytest.skip("native jpeg decoder unavailable")
+        assert native_decode_jpeg(b"not a jpeg at all") is None
+
+    def test_folder_source_uses_native(self, tmp_path, rng):
+        """FolderSource still yields identical frames through the native
+        decode path."""
+        import cv2
+        from txr.io.sources import FolderSource
+
+        img = rng.integers(0, 255, (32, 40, 3), dtype=np.uint8)
+        cv2.imwrite(str(tmp_path / "a.jpg"), img)
+        src = FolderSource(str(tmp_path))
+        got, ts, name = next(src)
+        ref = cv2.imread(str(tmp_path / "a.jpg"))
+        np.testing.assert_array_equal(got, ref)

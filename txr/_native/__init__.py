@@ -22,14 +22,17 @@ _tried = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           "-o", _LIB, _SRC]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except (subprocess.CalledProcessError, FileNotFoundError,
-            subprocess.TimeoutExpired):
-        return False
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB, _SRC]
+    variants = [base + ["-DTXR_HAVE_JPEG", "-ljpeg"],  # full (host decode)
+                base]                                   # no libjpeg present
+    for cmd in variants:
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            return True
+        except (subprocess.CalledProcessError, FileNotFoundError,
+                subprocess.TimeoutExpired):
+            continue
+    return False
 
 
 def get_lib():
@@ -58,8 +61,76 @@ def get_lib():
         lib.txr_compact_points.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.txr_has_jpeg.restype = ctypes.c_int
+        lib.txr_has_jpeg.argtypes = []
+        if lib.txr_has_jpeg():
+            lib.txr_jpeg_dims.restype = ctypes.c_int
+            lib.txr_jpeg_dims.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int)]
+            lib.txr_decode_jpeg.restype = ctypes.c_int
+            lib.txr_decode_jpeg.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int]
         _lib = lib
         return _lib
+
+
+class _BufferPool:
+    """Reusable decode staging buffers keyed by shape — the hot replay loop
+    decodes into stable addresses instead of fresh allocations (the host
+    analog of pinned staging; SURVEY §2.8 item 15)."""
+
+    def __init__(self, depth: int = 4):
+        self._pool: dict = {}
+        self._depth = depth
+        self._lock = threading.Lock()
+
+    def get(self, shape) -> np.ndarray:
+        with self._lock:
+            bufs = self._pool.setdefault(shape, [])
+            if bufs:
+                return bufs.pop()
+        return np.empty(shape, np.uint8)
+
+    def put(self, buf: np.ndarray):
+        with self._lock:
+            bufs = self._pool.setdefault(buf.shape, [])
+            if len(bufs) < self._depth:
+                bufs.append(buf)
+
+
+_decode_pool = _BufferPool()
+
+
+def native_decode_jpeg(data: bytes) -> np.ndarray | None:
+    """Decode a JPEG byte string to a BGR uint8 array via the C++ stage.
+    Returns None when the native decoder is unavailable or the stream is
+    not a decodable baseline JPEG (caller falls back to cv2)."""
+    lib = get_lib()
+    if lib is None or not lib.txr_has_jpeg():
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    c = ctypes.c_int()
+    if lib.txr_jpeg_dims(buf.ctypes.data_as(ctypes.c_void_p), buf.size,
+                         ctypes.byref(w), ctypes.byref(h),
+                         ctypes.byref(c)) != 0:
+        return None
+    out = _decode_pool.get((h.value, w.value, 3))
+    rc = lib.txr_decode_jpeg(buf.ctypes.data_as(ctypes.c_void_p), buf.size,
+                             out.ctypes.data_as(ctypes.c_void_p),
+                             w.value, h.value)
+    if rc != 0:
+        return None
+    return out
+
+
+def decode_pool_release(buf: np.ndarray):
+    """Hand a decode buffer back for reuse (optional; safe to skip)."""
+    _decode_pool.put(buf)
 
 
 def native_write_ply(path: str, xyz: np.ndarray, rgb: np.ndarray | None) -> bool:

@@ -13,7 +13,102 @@
 #include <cstring>
 #include <cstdlib>
 
+#ifdef TXR_HAVE_JPEG
+#include <csetjmp>
+#include <jpeglib.h>
+#endif
+
 extern "C" {
+
+#ifdef TXR_HAVE_JPEG
+// ---- JPEG decode (SURVEY §2.8 item 15: host decode feeding reusable
+// staging buffers). libjpeg with the default islow IDCT — bit-compatible
+// with cv2's bundled libjpeg-turbo for baseline JPEGs.
+
+struct txr_jpeg_err {
+    jpeg_error_mgr mgr;
+    jmp_buf jb;
+};
+
+static void txr_jpeg_fail(j_common_ptr cinfo) {
+    txr_jpeg_err* e = (txr_jpeg_err*)cinfo->err;
+    longjmp(e->jb, 1);
+}
+
+// Probe dimensions: returns 0 and fills w/h/channels, or -1 on parse error.
+int txr_jpeg_dims(const uint8_t* data, int64_t len, int* w, int* h, int* c) {
+    jpeg_decompress_struct cinfo;
+    txr_jpeg_err jerr;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = txr_jpeg_fail;
+    if (setjmp(jerr.jb)) { jpeg_destroy_decompress(&cinfo); return -1; }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, data, (unsigned long)len);
+    if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    *w = (int)cinfo.image_width;
+    *h = (int)cinfo.image_height;
+    *c = 3;  // decode always emits BGR
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+
+// Decode into caller-provided BGR uint8 buffer of h*w*3 bytes (the caller
+// keeps a reusable pool so hot loops stage into stable addresses).
+// Returns 0 on success, -1 on decode error.
+int txr_decode_jpeg(const uint8_t* data, int64_t len, uint8_t* out,
+                    int w, int h) {
+    jpeg_decompress_struct cinfo;
+    txr_jpeg_err jerr;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = txr_jpeg_fail;
+    if (setjmp(jerr.jb)) { jpeg_destroy_decompress(&cinfo); return -1; }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, data, (unsigned long)len);
+    if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+#ifdef JCS_EXTENSIONS
+    cinfo.out_color_space = JCS_EXT_BGR;  // turbo fast path when present
+#else
+    cinfo.out_color_space = JCS_RGB;
+#endif
+    jpeg_start_decompress(&cinfo);
+    if ((int)cinfo.output_width != w || (int)cinfo.output_height != h ||
+        cinfo.output_components != 3) {
+        jpeg_abort_decompress(&cinfo);
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    while (cinfo.output_scanline < cinfo.output_height) {
+        JSAMPROW row = out + (int64_t)cinfo.output_scanline * w * 3;
+        jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+#ifndef JCS_EXTENSIONS
+    // swap RGB -> BGR in place
+    for (int64_t i = 0; i < (int64_t)w * h; ++i) {
+        uint8_t t = out[i * 3];
+        out[i * 3] = out[i * 3 + 2];
+        out[i * 3 + 2] = t;
+    }
+#endif
+    return 0;
+}
+#endif  // TXR_HAVE_JPEG
+
+// Feature probe for the python wrapper.
+int txr_has_jpeg(void) {
+#ifdef TXR_HAVE_JPEG
+    return 1;
+#else
+    return 0;
+#endif
+}
 
 // Write a binary_little_endian PLY with float32 xyz + uchar rgb.
 // xyz: n*3 float32, rgb: n*3 float32 in [0,1] (may be null).

@@ -2,7 +2,9 @@
 contract ``__next__() -> (bgr_image, timestamp, identifier)`` plus an
 ``.intrinsics`` attribute (reference: depth_processor.py:453-662).
 
-Decode rides OpenCV's C++ codecs (the reference's own native substrate). A
+JPEG decode goes through the framework's own C++ stage
+(txr/_native: libjpeg into a reusable staging-buffer pool — SURVEY §2.8
+item 15) with cv2 as the fallback and the codec for other formats. A
 background prefetch thread overlaps host decode with device compute — the
 host-pipeline stage 0 of SURVEY §2.6.
 """
@@ -30,6 +32,26 @@ from txr.core.intrinsics import CameraIntrinsics
 Frame = Tuple[np.ndarray, float, str]
 
 _IMAGE_EXTS = ("jpg", "jpeg", "png", "bmp", "tiff", "tif")
+
+
+def _read_image(path: str) -> Optional[np.ndarray]:
+    """Read a BGR image: native C++ JPEG decode when available (byte-parity
+    with cv2 pinned by tests/test_native.py), cv2 otherwise."""
+    if path.lower().endswith((".jpg", ".jpeg")):
+        try:
+            from txr._native import native_decode_jpeg
+
+            with open(path, "rb") as f:
+                img = native_decode_jpeg(f.read())
+            if img is not None:
+                return img
+        except OSError:
+            return None
+        except Exception:
+            pass  # fall back to cv2
+    if not CV2_AVAILABLE:
+        return None
+    return cv2.imread(path)
 
 
 class ImageSource:
@@ -78,7 +100,7 @@ class FolderSource(ImageSource):
         while self.index < len(self.files):
             path = self.files[self.index]
             self.index += 1
-            img = cv2.imread(path)
+            img = _read_image(path)
             if img is None:  # bad image: skip, like the reference (:513-516)
                 continue
             name = os.path.splitext(os.path.basename(path))[0]
