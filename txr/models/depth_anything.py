@@ -118,11 +118,17 @@ def build_model(version: str = "v2", encoder: str = "vitl", metric: bool = False
         vit = replace(vit, use_flash=use_flash)
     if quant != "none":
         vit = replace(vit, quant=quant)
+    # Perf-experiment env overrides for the fused head kernels (see
+    # DPTConfig): "1"/"0" force on/off, unset = the config defaults.
+    import os as _os
+    _knob = {"1": True, "0": False}
     dpt = DPTConfig(
         features=cfg["features"],
         out_channels=tuple(cfg["out_channels"]),
         metric=metric,
         max_depth=max_depth,
+        fused_head=_knob.get(_os.environ.get("TXR_FUSED_HEAD", "")),
+        fused_convs=_knob.get(_os.environ.get("TXR_FUSED_CONVS", "")),
     )
     return DepthAnythingFlax(vit=vit, dpt=dpt), vit, dpt
 
