@@ -82,12 +82,19 @@ def config1_fusion_only(results):
         pipe = DepthToReconstructionPipeline(cfg, verbose=False)
         n = pipe.load_data(rgb, dep)
         t0 = time.perf_counter()
-        pts, cols, poses = pipe.reconstruct()
+        pipe.reconstruct()                      # cold: compiles included
+        cold = time.perf_counter() - t0
+        pipe2 = DepthToReconstructionPipeline(cfg, verbose=False)
+        pipe2.load_data(rgb, dep)
+        t0 = time.perf_counter()
+        pts, cols, poses = pipe2.reconstruct()  # warm: compile cache hit
         dt = time.perf_counter() - t0
     results["fusion_only_640x480"] = {
         "frames": n, "seconds": round(dt, 2), "fps": round(n / dt, 2),
+        "compile_overhead_s": round(cold - dt, 1),
         "points": 0 if pts is None else int(len(pts))}
-    log(f"config1 fusion-only: {n} frames in {dt:.1f}s = {n/dt:.2f} fps")
+    log(f"config1 fusion-only: {n} frames in {dt:.1f}s = {n/dt:.2f} fps"
+        f" (+{cold - dt:.0f}s compile)")
 
 
 def _vits_model(version="v2", encoder="vits", **kw):
@@ -134,12 +141,22 @@ def config3_enhanced_e2e(results):
                                           subsample=4, voxel_size=0.02)
         n = rec.load_images(rgb)
         t0 = time.perf_counter()
-        result = rec.reconstruct(output_dir=os.path.join(td, "out"))
+        rec.reconstruct(output_dir=os.path.join(td, "out"))  # cold
+        cold = time.perf_counter() - t0
+        rec2 = DepthEnhancedReconstruction(K, use_depth=True,
+                                           use_hybrid_features=True,
+                                           depth_model=model, verbose=False,
+                                           subsample=4, voxel_size=0.02)
+        rec2.load_images(rgb)
+        t0 = time.perf_counter()
+        result = rec2.reconstruct(output_dir=os.path.join(td, "out2"))
         dt = time.perf_counter() - t0
     results["enhanced_e2e_vits_640x480"] = {
         "frames": n, "seconds": round(dt, 2), "fps": round(n / dt, 2),
+        "compile_overhead_s": round(cold - dt, 1),
         "points": 0 if result is None else int(len(result[0]))}
-    log(f"config3 enhanced e2e: {n} frames in {dt:.1f}s = {n/dt:.2f} fps")
+    log(f"config3 enhanced e2e: {n} frames in {dt:.1f}s = {n/dt:.2f} fps"
+        f" (+{cold - dt:.0f}s compile)")
 
 
 def config4_v3_metric_video(results):
@@ -183,6 +200,9 @@ def config5_streaming(results):
     src = FolderSource(TUNNEL2)
     cfg = StreamingConfig(voxel_size=0.02, subsample_factor=2,
                           max_depth=10.0, max_map_points=1 << 20)
+    warm = StreamingReconstructor(src.intrinsics, depth_model=model,
+                                  config=cfg, verbose=False)
+    warm.run(FolderSource(TUNNEL2), max_frames=4)   # compile outside timing
     rec = StreamingReconstructor(src.intrinsics, depth_model=model,
                                  config=cfg, verbose=False)
     t0 = time.perf_counter()
