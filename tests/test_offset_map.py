@@ -1,8 +1,8 @@
 """Mean-offset packed voxel map (txr.fusion.offset_map) tests.
 
-Must match sorted_map voxel-for-voxel with 16-bit fixed-point tolerances:
-position within voxel_size/65536 quantization + f32 weighted accumulation,
-color within ~1 gray level of the exact mean.
+Must match sorted_map voxel-for-voxel with the 4-column fixed-point
+tolerances: position within voxel_size/1024 quantization + f32 weighted
+accumulation, color within ~1 gray level (8-bit storage) of the exact mean.
 """
 
 import numpy as np
@@ -10,16 +10,23 @@ import numpy as np
 import jax.numpy as jnp
 
 from txr.core.types import PointSet
-from txr.fusion.offset_map import (create_offset_map, offset_map_insert,
+from txr.fusion.offset_map import (W_MAX, _pack_klo_x, _pack_rgb, _pack_yzw,
+                                   _q, create_offset_map, offset_map_insert,
                                    offset_map_points, offset_map_size)
 from txr.fusion.sorted_map import (create_sorted_map, sorted_map_insert,
                                    sorted_map_points)
 
 
+def _weights(vm):
+    return np.asarray(vm.yzw).astype(np.uint32) & 0x7FF
+
+
 def _keyset(vm):
+    from txr.fusion.offset_map import _unpack_klo_x
     from txr.fusion.packed_map import unpack_keys
-    kx, ky, kz = unpack_keys(vm.khi, vm.klo)
-    occ = np.asarray(vm.ozw).astype(np.uint32) & 0xFFFF > 0
+    klo, _ = _unpack_klo_x(vm.klo_x)
+    kx, ky, kz = unpack_keys(vm.khi, klo)
+    occ = _weights(vm) > 0
     return np.stack([np.asarray(kx), np.asarray(ky), np.asarray(kz)], 1)[occ]
 
 
@@ -49,8 +56,9 @@ class TestOffsetMap:
         col_err = max(np.abs(da[k][1] - dp[k][1]).max() for k in da)
         # sorted_map's f32 absolute-position cumsum carries ~1e-4 error
         # itself (same 1e-3 bound as test_packed_map); the offset map's own
-        # quantization is voxel/65536 = 7.6e-7.
+        # quantization is voxel/1024 = 4.9e-5 here.
         assert pos_err < 1e-3
+        # 8-bit color storage: half-step 2e-3 per point + mean accumulation.
         assert col_err < 1.0 / 255.0
 
     def test_stable_mean_no_drift(self):
@@ -82,10 +90,11 @@ class TestOffsetMap:
         p = offset_map_insert(p, one)
         p = offset_map_insert(p, one)  # 100k raw observations
         w = float(np.asarray(p.count).max())
-        assert 0 < w <= 65535
+        assert 0 < w <= W_MAX
         pts, cols = offset_map_points(p).to_numpy()
         assert len(pts) == 1
-        assert np.allclose(pts[0], [0.25, 0.25, 0.25], atol=1e-4)
+        # 10-bit offset midpoint dequant: up to voxel/2048 = 4.9e-4 here.
+        assert np.allclose(pts[0], [0.25, 0.25, 0.25], atol=1e-3)
         assert np.allclose(cols[0], [0.5, 0.25, 0.75], atol=0.01)
 
     def test_empty_and_masked(self):
@@ -105,17 +114,18 @@ class TestOffsetMap:
 
     def test_no_drift_at_large_accumulated_weight(self):
         """ADVICE r1 regression: with a heavily-loaded resident map (total
-        accumulated weight ~1.2e10, far beyond f32 prefix-sum exactness), an
-        insert must still recover exact per-voxel weights and accurate means
-        — the segmented scan's error scales with each segment's own sum, not
-        the map total. A global-cumsum + differencing implementation fails
-        this with weight errors in the hundreds."""
+        accumulated weight ~5e8, far beyond f32 prefix-sum exactness at
+        2^24), an insert must still recover exact per-voxel weights and
+        accurate means — the segmented scan's error scales with each
+        segment's own sum, not the map total. A global-cumsum + differencing
+        implementation fails this with weight errors in the hundreds."""
         from txr.fusion.packed_map import pack_keys
 
         cap = 1 << 18
-        nres = 200_000
+        nres = 250_000
+        wres = 2000                          # near the u11 cap
         p = create_offset_map(cap, 1.0)
-        # Spread over a 128x128x16 grid: per-axis coords must stay well
+        # Spread over a 128x128 grid in x,y: per-axis coords must stay well
         # inside the packed-key field widths.
         i = np.arange(nres)
         coord = lambda j: np.stack(
@@ -124,14 +134,18 @@ class TestOffsetMap:
         ky = jnp.asarray((i // 128) % 128, jnp.int32)
         kz = jnp.asarray(i // 16384, jnp.int32)
         khi, klo = pack_keys(kx, ky, kz, jnp.ones(nres, bool))
-        q = lambda f: int(f * 65536)
-        oxy = jnp.full((nres,), (q(0.25) << 16) | q(0.5), jnp.int32)
-        ozw = jnp.full((nres,), (q(0.75) << 16) | 60000, jnp.int32)
-        rgb31 = (q(0.5) >> 5 << 21) | (q(0.5) >> 5 << 10) | (q(0.5) >> 6)
+        ones = jnp.ones(nres, bool)
+        klo_x = _pack_klo_x(klo, _q(jnp.full(nres, 0.25), 10), ones)
+        yzw = _pack_yzw(_q(jnp.full(nres, 0.5), 10),
+                        _q(jnp.full(nres, 0.75), 10),
+                        jnp.full(nres, wres, jnp.uint32))
+        rgb = _pack_rgb(jnp.full(nres, 0.25), jnp.full(nres, 0.5),
+                        jnp.full(nres, 0.75))
         p = p._replace(
-            khi=p.khi.at[:nres].set(khi), klo=p.klo.at[:nres].set(klo),
-            oxy=p.oxy.at[:nres].set(oxy), ozw=p.ozw.at[:nres].set(ozw),
-            rgb=p.rgb.at[:nres].set(jnp.full((nres,), rgb31, jnp.int32)))
+            khi=p.khi.at[:nres].set(khi),
+            klo_x=p.klo_x.at[:nres].set(klo_x),
+            yzw=p.yzw.at[:nres].set(yzw),
+            rgb=p.rgb.at[:nres].set(rgb))
 
         # New points: one in a LATE voxel in key order (prefix magnitude
         # maximal there) and one in a fresh voxel beyond all residents.
@@ -144,23 +158,22 @@ class TestOffsetMap:
         p2 = offset_map_insert(p, pts)
 
         assert int(offset_map_size(p2)) == nres + 1
-        w = np.asarray(p2.ozw).astype(np.uint32) & 0xFFFF
-        occ = w > 0
-        wocc = w[occ]
-        # Exact weights: untouched voxels 60000, touched 60001, new voxel 1.
-        assert (wocc == 60000).sum() == nres - 1
-        assert (wocc == 60001).sum() == 1
+        wocc = _weights(p2)
+        wocc = wocc[wocc > 0]
+        # Exact weights: untouched voxels wres, touched wres+1, new voxel 1.
+        assert (wocc == wres).sum() == nres - 1
+        assert (wocc == wres + 1).sum() == 1
         assert (wocc == 1).sum() == 1
         qpts, qcols = offset_map_points(p2).to_numpy()
-        # The new singleton voxel: mean == the point itself.
+        # The new singleton voxel: mean == the point itself (10-bit quant).
         new_sel = np.argmin(np.abs(qpts - (fresh + 0.5)).sum(1))
-        assert np.allclose(qpts[new_sel], fresh + 0.5, atol=2e-4)
+        assert np.allclose(qpts[new_sel], fresh + 0.5, atol=1e-3)
         assert np.allclose(qcols[new_sel], [0.25, 0.5, 0.75], atol=0.01)
-        # The touched resident voxel: mean moves by ~(new-old)/60001.
+        # The touched resident voxel: mean moves by ~(new-old)/(wres+1).
         sel = np.argmin(np.abs(qpts - (touched + 0.3)).sum(1))
-        exp = (np.array([0.25, 0.5, 0.75]) * 60000 +
-               np.array([0.5, 0.5, 0.5])) / 60001
-        assert np.allclose(qpts[sel] - touched, exp, atol=2e-4)
+        off_res = (np.array([256, 512, 768]) + 0.5) / 1024  # dequant resident
+        exp = (off_res * wres + np.array([0.5, 0.5, 0.5])) / (wres + 1)
+        assert np.allclose(qpts[sel] - touched, exp, atol=1e-3)
 
     def test_overflow_drops_highest_keys(self):
         rng = np.random.default_rng(3)

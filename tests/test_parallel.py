@@ -202,8 +202,11 @@ class TestShardedFusion:
         mxyz, mrgb = key_sorted(mp)
         rxyz, rrgb = key_sorted(rp)
         # voxel keys identical; means within fixed-point requantization slack
-        np.testing.assert_allclose(mxyz, rxyz, atol=0.05 * 3e-4)
-        np.testing.assert_allclose(mrgb, rrgb, atol=6e-3)
+        # 10-bit offset storage: each insert/merge level re-quantizes means
+        # at voxel/1024 steps; the sharded path has one extra merge level
+        # than the sequential reference, so allow a few quantization steps.
+        np.testing.assert_allclose(mxyz, rxyz, atol=0.05 * 4e-3)
+        np.testing.assert_allclose(mrgb, rrgb, atol=8e-3)
 
     def test_full_model_sharded_smoke(self, devices, rng):
         from txr.fusion.offset_map import offset_map_size
@@ -255,4 +258,4 @@ class TestShardedFusion:
             return xyz[o]
 
         np.testing.assert_allclose(key_sorted(mp), key_sorted(rp),
-                                   atol=0.05 * 3e-4)
+                                   atol=0.05 * 4e-3)

@@ -14,9 +14,8 @@ import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
 from txr.core.types import PointSet
-from txr.fusion.offset_map import (create_offset_map, offset_map_insert,
-                                   _q16, _dq16, _pack_rgb, _unpack_rgb)
-from txr.fusion.packed_map import pack_keys
+from txr.fusion.offset_map import (_point_cols, _unpack_klo_x, _unpack_rgb,
+                                   _dq, create_offset_map, offset_map_insert)
 from txr.ops.scan import matmul_cumsum
 
 
@@ -25,42 +24,28 @@ def sync(x):
 
 
 def prep(vm, points):
-    g = points.xyz / vm.voxel_size
-    coords = jnp.floor(g).astype(jnp.int32)
-    pm = points.mask
-    off = jnp.where(pm[:, None], g - coords.astype(jnp.float32), 0.0)
-    rgb = jnp.where(pm[:, None], points.rgb, 0.0)
-    bhi, blo = pack_keys(coords[:, 0], coords[:, 1], coords[:, 2], pm)
-    w1 = pm.astype(jnp.uint32)
-    boxy = (_q16(off[:, 0]) << 16) | _q16(off[:, 1])
-    bozw = (_q16(off[:, 2]) << 16) | w1
-    brgb = _pack_rgb(rgb[:, 0], rgb[:, 1], rgb[:, 2])
-    return (
-        jnp.concatenate([vm.khi, bhi]),
-        jnp.concatenate([vm.klo, blo]),
-        jnp.concatenate([vm.oxy, boxy.astype(jnp.int32)]),
-        jnp.concatenate([vm.ozw, bozw.astype(jnp.int32)]),
-        jnp.concatenate([vm.rgb, brgb.astype(jnp.int32)]),
-    )
+    bcols = _point_cols(points, vm.voxel_size)
+    return tuple(jnp.concatenate([v, b]) for v, b in zip(vm[:4], bcols))
 
 
 @jax.jit
 def upto_sort(vm, points):
     s = jax.lax.sort(prep(vm, points), num_keys=2)
-    return s[0], s[4]
+    return s[0], s[3]
 
 
 @jax.jit
 def upto_cumsum(vm, points):
     s = jax.lax.sort(prep(vm, points), num_keys=2)
-    u_oxy = s[2].astype(jnp.uint32)
-    u_ozw = s[3].astype(jnp.uint32)
-    u_rgb = s[4].astype(jnp.uint32)
-    w = (u_ozw & 0xFFFF).astype(jnp.float32)
+    _, u_x = _unpack_klo_x(s[1])
+    u_yzw = s[2].astype(jnp.uint32)
+    u_rgb = s[3].astype(jnp.uint32)
+    w = (u_yzw & 0x7FF).astype(jnp.float32)
     rr, gg, bb = _unpack_rgb(u_rgb)
     scols = jnp.stack([
-        _dq16(u_oxy >> 16) * w, _dq16(u_oxy & 0xFFFF) * w,
-        _dq16(u_ozw >> 16) * w, rr * w, gg * w, bb * w, w], axis=1)
+        _dq(u_x, 10) * w, _dq((u_yzw >> 21) & 0x3FF, 10) * w,
+        _dq((u_yzw >> 11) & 0x3FF, 10) * w, rr * w, gg * w, bb * w, w],
+        axis=1)
     csum = matmul_cumsum(scols)
     return s[0], csum[-1]
 
@@ -68,7 +53,8 @@ def upto_cumsum(vm, points):
 @jax.jit
 def upto_topk(vm, points):
     s = jax.lax.sort(prep(vm, points), num_keys=2)
-    skhi, sklo = s[0], s[1]
+    skhi = s[0]
+    sklo, _ = _unpack_klo_x(s[1])
     n = skhi.shape[0]
     last = ((skhi != jnp.roll(skhi, -1)) | (sklo != jnp.roll(sklo, -1))
             ).at[n - 1].set(True)

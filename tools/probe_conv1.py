@@ -93,8 +93,8 @@ def dot1x1(x, w):
 def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(B, H, W, CIN)).astype(ml_dtypes.bfloat16))
-    w = jnp.asarray(rng.normal(size=(3, 3, CIN, COUT)).astype(
-        ml_dtypes.bfloat16) * 0.05)
+    w = jnp.asarray((rng.normal(size=(3, 3, CIN, COUT)) * 0.05).astype(
+        ml_dtypes.bfloat16))
     fns = {"conv": conv, "convf32": convf32, "ninedot": ninedot,
            "packdj": packdj, "dot1x1": dot1x1}
     ref = None

@@ -83,11 +83,38 @@ def main():
     timeit(jax.jit(lambda y: resize_bilinear(y, 518, 924, align_corners=True)),
            y1, name="resize 296x528->518x924 c128")
 
+    # conv1 + fused tail (the current TPU path), incl. the XLA->Pallas
+    # layout boundary — vs the sum of the isolated pieces.
+    from txr.ops.dpt_tail import fused_head_tail
+
+    class OutHeadFused(nn.Module):
+        @nn.compact
+        def __call__(self, y):
+            y = nn.Conv(128, (3, 3), padding=1)(y)
+            w2 = self.param("w2", nn.initializers.lecun_normal(),
+                            (3, 3, 128, 32))
+            b2 = self.param("b2", nn.initializers.zeros, (32,))
+            w3 = self.param("w3", nn.initializers.lecun_normal(),
+                            (1, 1, 32, 1))
+            b3 = self.param("b3", nn.initializers.zeros, (1,))
+            return fused_head_tail(y, w2, b2, w3, b3, 518, 924)
+
+    ohf = OutHeadFused()
+    pof = jax.tree_util.tree_map(lambda v: v.astype(jnp.bfloat16),
+                                 ohf.init(key, y0))
+    timeit(jax.jit(lambda p, y: ohf.apply(p, y)), pof, y0,
+           name="output head conv1+fused tail")
+
     head = DPTHead(cfg)
     p = head.init(key, hs, ph, pw)
     p = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), p)
     f = jax.jit(lambda p, h: head.apply(p, h, ph, pw))
-    timeit(f, p, hs, name="DPT head total")
+    timeit(f, p, hs, name="DPT head total (fused tail)")
+    cfg_uf = DPTConfig(features=256, out_channels=(256, 512, 1024, 1024),
+                       fused_head=False)
+    head_uf = DPTHead(cfg_uf)
+    f_uf = jax.jit(lambda p, h: head_uf.apply(p, h, ph, pw))
+    timeit(f_uf, p, hs, name="DPT head total (unfused)")
 
 
 def conv_variants():

@@ -25,8 +25,9 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from txr.core.types import PointSet
-from txr.fusion.offset_map import (OffsetVoxelMap, create_offset_map,
-                                   offset_map_insert, offset_map_merge)
+from txr.fusion.offset_map import (NCOLS, OffsetVoxelMap,
+                                   create_offset_map, offset_map_insert,
+                                   offset_map_merge)
 from txr.ops.backproject import backproject_world
 from txr.parallel.mesh import batch_sharding, param_shardings
 
@@ -43,7 +44,7 @@ def create_sharded_maps(mesh: Mesh, capacity: int,
         s = jnp.broadcast_to(leaf[None], (dp,) + leaf.shape)
         return jax.device_put(s, NamedSharding(mesh, P("dp")))
 
-    return OffsetVoxelMap(*[stack(l) for l in one[:5]], one.voxel_size)
+    return OffsetVoxelMap(*[stack(l) for l in one[:NCOLS]], one.voxel_size)
 
 
 def make_sharded_fusion_step(model, params, mesh: Mesh,
@@ -64,7 +65,7 @@ def make_sharded_fusion_step(model, params, mesh: Mesh,
     p_shard = param_shardings(params, mesh)
     f_shard = batch_sharding(mesh)
     vm_shard = OffsetVoxelMap(
-        *([NamedSharding(mesh, P("dp"))] * 5),
+        *([NamedSharding(mesh, P("dp"))] * NCOLS),
         NamedSharding(mesh, P()))
 
     @partial(jax.jit,
@@ -93,9 +94,9 @@ def make_sharded_fusion_step(model, params, mesh: Mesh,
         def insert_one(vm_cols, pts):
             vm = OffsetVoxelMap(*vm_cols, vms.voxel_size)
             out = offset_map_insert(vm, pts)
-            return tuple(out[:5])
+            return tuple(out[:NCOLS])
 
-        new_cols = jax.vmap(insert_one)(tuple(vms[:5]), flat)
+        new_cols = jax.vmap(insert_one)(tuple(vms[:NCOLS]), flat)
         return OffsetVoxelMap(*new_cols, vms.voxel_size)
 
     return step
@@ -106,7 +107,7 @@ def merge_sharded_maps(vms: OffsetVoxelMap) -> OffsetVoxelMap:
     """Fold the (dp, C) map stack into one map with the exact weighted
     merge. Pairwise fold — log2(dp) merges; XLA gathers shards as needed."""
     dp = vms.khi.shape[0]
-    maps = [OffsetVoxelMap(*[l[i] for l in vms[:5]], vms.voxel_size)
+    maps = [OffsetVoxelMap(*[l[i] for l in vms[:NCOLS]], vms.voxel_size)
             for i in range(dp)]
     while len(maps) > 1:
         nxt = [offset_map_merge(maps[i], maps[i + 1])
