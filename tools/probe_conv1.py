@@ -33,15 +33,20 @@ B, H, W, CIN, COUT = 16, 296, 528, 256, 128
 MODES = sys.argv[1:] or ["conv", "convf32", "packdj", "dot1x1"]
 
 
-def timeit(fn, *args, n=6, name=""):
+def timeit(fn, *args, n=12, name=""):
+    # One terminal sync: the relay round-trip floor (26-40 ms, drifts by day
+    # — tools/probe_timing_sanity.py) amortizes over n dispatches, so per-op
+    # cost ~= (total - floor)/n. Per-iteration floor subtraction (the old
+    # "dt - 26.0") double-counts the floor n times and can go negative.
     r = fn(*args)
     float(jnp.sum(r))
     t0 = time.perf_counter()
     for _ in range(n):
         r = fn(*args)
     float(jnp.sum(r))
-    dt = (time.perf_counter() - t0) / n * 1e3
-    print(f"{name:10s} {dt - 26.0:7.2f} ms (raw {dt:.2f})", flush=True)
+    tot = (time.perf_counter() - t0) * 1e3
+    print(f"{name:10s} ~{(tot - 40.0) / n:7.2f} ms  "
+          f"(raw {tot / n:.2f}/iter, floor 40 amortized)", flush=True)
     return r
 
 
