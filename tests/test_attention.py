@@ -67,3 +67,26 @@ class TestFusedKernel:
                            ).astype(np.float32))
         got = attention_flash_fused(qkv, h, d, block_q=32)
         assert np.isfinite(np.asarray(got)).all()
+
+    @pytest.mark.parametrize("s", [64, 75])
+    def test_boundmax_matches_reference(self, rng, s):
+        # boundmax replaces the exact row max with a Cauchy-Schwarz bound;
+        # softmax is shift-invariant, so within the documented logit range
+        # (+-83 nats of the bound) the result is the same math.
+        b, h, d = 2, 4, 16
+        qkv = jnp.asarray(rng.normal(size=(b, s, 3 * h * d)).astype(np.float32))
+        ref = _fused_reference(qkv, h, d)
+        got = attention_flash_fused(qkv, h, d, block_q=64,
+                                    score_mode="boundmax")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=3e-5, atol=3e-5)
+
+    def test_boundmax_extreme_logits_stay_finite(self, rng):
+        # Beyond ~83 nats the clamp saturates but the output must remain
+        # finite (no inf normalizer, no NaN).
+        b, s, h, d = 1, 64, 2, 64
+        qkv = jnp.asarray((rng.normal(size=(b, s, 3 * h * d)) * 6.0
+                           ).astype(np.float32))
+        got = attention_flash_fused(qkv, h, d, block_q=32,
+                                    score_mode="boundmax")
+        assert np.isfinite(np.asarray(got)).all()

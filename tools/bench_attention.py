@@ -40,6 +40,17 @@ def main():
     assert err_xx < 1e-3, err_xx  # summation-order level
     assert err_new < 1e-3, err_new
 
+    # Score-mode parity on the bf16 slice (boundmax is exact math — only
+    # summation-order noise vs f32max; outputs are O(1) softmax averages).
+    small16 = qkv[:2, :300]
+    ref16 = _fused_reference(small16, H, D)
+    for mode in ("f32max", "boundmax"):
+        got = attention_flash_fused(small16, H, D, score_mode=mode)
+        err = float(jnp.max(jnp.abs(
+            got.astype(jnp.float32) - ref16.astype(jnp.float32))))
+        print(f"parity bf16 {mode:9s} max|err| = {err:.2e}")
+        assert err < 1e-2, (mode, err)
+
     def run(fn, reps=20, name=""):
         o = fn()
         sync(o)
@@ -51,11 +62,23 @@ def main():
         print(f"{name:30s} {dt:7.2f} ms/layer-batch  x24 = {dt*24:6.1f} ms")
         return dt
 
-    run(lambda: attention_flash_fused(qkv, H, D), name="1pass bq512")
-    run(lambda: attention_flash_fused(qkv, H, D, block_q=1024),
-        name="1pass bq1024")
-    run(lambda: attention_flash_fused(qkv, H, D, block_k=2560),
-        name="streaming full-K (old default)")
+    run(lambda: attention_flash_fused(qkv, H, D), name="1pass f32max (shipped)")
+    run(lambda: attention_flash_fused(qkv, H, D, score_mode="boundmax"),
+        name="1pass boundmax")
+    # bq1024 exceeds the 16 MB scoped-VMEM cap at this S (pads to 3072);
+    # kept for smaller shapes, tolerated here.
+    for fn, name in [
+            (lambda: attention_flash_fused(qkv, H, D, block_q=1024),
+             "1pass bq1024"),
+            (lambda: attention_flash_fused(qkv, H, D, block_k=2560),
+             "streaming full-K (old default)")]:
+        try:
+            run(fn, name=name)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:30s} FAILED: {str(e).splitlines()[0][:90]}")
+    # CAUTION (CLAUDE.md TIMING): standalone numbers here include per-
+    # dispatch relay overhead and have disagreed 3x with in-model cost —
+    # use the e2e bench to accept/reject kernel changes.
 
 
 if __name__ == "__main__":

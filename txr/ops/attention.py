@@ -167,7 +167,7 @@ def _fused_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, block_k: int,
 
 
 def _fused_kernel_1pass(q_ref, k_ref, v_ref, o_ref, *, pad_count: int,
-                        sm_scale: float, d: int):
+                        sm_scale: float, d: int, score_mode: str = "f32max"):
     """Two heads per program, full-K single pass, zero-pad normalizer trick.
 
     K/V are zero-padded to the block length. A zero K row gives logit exactly
@@ -177,6 +177,26 @@ def _fused_kernel_1pass(q_ref, k_ref, v_ref, o_ref, *, pad_count: int,
     No online-softmax carries either — max/exp/sum run once per program.
     (Caveat: if every VALID logit is below ~-80 the pad mass dominates and
     the output degrades to 0; scaled ViT logits never approach that.)
+
+    The kernel is VPU/VMEM-pass-bound over the (block_q, S) score set
+    (CLAUDE.md: ~3 passes ≈ 5.5 ms/layer-batch at bench shape), so
+    score_mode trades score-pass bandwidth against softmax-shift policy:
+      f32max   — f32 scores from the MXU, exact row max (16 B/elem moved).
+      boundmax — the max pass is replaced by a per-row Cauchy-Schwarz bound
+                 m = min(c*|q_r|*max_k|k|, 60) computed from the tiny (S, d)
+                 operands (1/40th of a score pass), cutting score traffic to
+                 12 B/elem with NO extra rounding (scores stay f32; softmax
+                 is shift-invariant, so any row constant m is exact math).
+                 exp2 arguments are clamped at +60 so p <= 2^60 and the f32
+                 normalizer (<= S * 2^60) cannot overflow; the result is
+                 EXACT standard softmax whenever scaled logits stay within
+                 ~83 nats of the bound (ViT logits are +-~30; bf16's f32-
+                 width exponent keeps 2^-126 tails representable), and
+                 degrades to a saturated-but-finite approximation beyond —
+                 the same assumption class as the zero-pad trick above.
+    (A bf16-scores mode is impossible: Mosaic's tpu.matmul requires a
+    32-bit accumulator, and a separate f32->bf16 convert pass costs more
+    than the narrower reads save.)
     """
     q2 = q_ref[0]                       # (block_q, 2d)
     bq = q2.shape[0]
@@ -185,13 +205,26 @@ def _fused_kernel_1pass(q_ref, k_ref, v_ref, o_ref, *, pad_count: int,
     c = sm_scale * 1.4426950408889634
     outs = []
     for hh in (0, 1):
-        q = (q2[:, hh * d:(hh + 1) * d].astype(jnp.float32)
-             * c).astype(q2.dtype)
+        qf = q2[:, hh * d:(hh + 1) * d].astype(jnp.float32) * c
+        q = qf.astype(q2.dtype)
         k = k_ref[0, :, hh * d:(hh + 1) * d]
         v = v_ref[0, :, hh * d:(hh + 1) * d]
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-        m = jnp.max(s, axis=-1, keepdims=True)          # (bq, 1) f32
-        p = jnp.exp2(s - m).astype(v.dtype)             # (bq, S) bf16
+        if score_mode == "f32max":
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+            m = jnp.max(s, axis=-1, keepdims=True)      # (bq, 1) f32
+            p = jnp.exp2(s - m).astype(v.dtype)         # (bq, S) bf16
+        elif score_mode == "boundmax":
+            # m >= every |scaled logit| by Cauchy-Schwarz (q is pre-scaled
+            # by c, so qn carries c); capped at 60 so the low tail stays
+            # >= 2^-126 whenever some logit is within ~83 nats of the bound.
+            qn = jnp.sqrt(jnp.sum(qf * qf, axis=1, keepdims=True))
+            kf = k.astype(jnp.float32)
+            kn = jnp.sqrt(jnp.max(jnp.sum(kf * kf, axis=1)))
+            m = jnp.minimum(qn * kn, 60.0)              # (bq, 1) f32
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+            p = jnp.exp2(jnp.minimum(s - m, 60.0)).astype(v.dtype)
+        else:  # pragma: no cover
+            raise ValueError(f"unknown score_mode {score_mode!r}")
         # normalizer from the bf16 p (half the read bandwidth); f32 accum
         l = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
         if pad_count:
@@ -201,13 +234,22 @@ def _fused_kernel_1pass(q_ref, k_ref, v_ref, o_ref, *, pad_count: int,
     o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
 
+def default_score_mode() -> str:
+    """Score-pass dtype/max policy for the 1-pass kernel (see
+    _fused_kernel_1pass). Overridable via TXR_ATTN_SCORES for experiments."""
+    import os
+
+    return os.environ.get("TXR_ATTN_SCORES", "f32max")
+
+
 @functools.partial(jax.jit,
                    static_argnames=("num_heads", "head_dim", "kv_len",
-                                    "block_q", "block_k"))
+                                    "block_q", "block_k", "score_mode"))
 def attention_flash_fused(qkv: jnp.ndarray, num_heads: int, head_dim: int,
                           kv_len: int | None = None,
                           block_q: int = 512,
-                          block_k: int | None = None) -> jnp.ndarray:
+                          block_k: int | None = None,
+                          score_mode: str | None = None) -> jnp.ndarray:
     """Transpose-free flash attention on the fused qkv projection.
 
     qkv: (B, S, 3*H*D) straight from the qkv Dense (component-major q|k|v) —
@@ -236,7 +278,9 @@ def attention_flash_fused(qkv: jnp.ndarray, num_heads: int, head_dim: int,
         # jnp.pad above, NOT for caller-truncated kv_len < s, hence the guard.
         kernel = functools.partial(_fused_kernel_1pass,
                                    pad_count=sp - kv_len,
-                                   sm_scale=d ** -0.5, d=d)
+                                   sm_scale=d ** -0.5, d=d,
+                                   score_mode=(score_mode or
+                                               default_score_mode()))
     elif block_k is None:
         kernel = functools.partial(_fused_kernel, kv_len=kv_len, block_k=sp,
                                    sm_scale=d ** -0.5, d=d)
