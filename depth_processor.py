@@ -53,6 +53,12 @@ def parse_args():
                              help='Training dataset for metric models')
     model_group.add_argument('--input-size', type=int, default=518,
                              help='Input size for model inference')
+    model_group.add_argument('--batch', type=int, default=0,
+                             help='Frames per fused device program '
+                                  '(TPU-native extension; 0 = auto: 8 for '
+                                  'folder/video sources, 1 for live camera; '
+                                  '1 reproduces the reference frame-'
+                                  'sequential loop exactly)')
     model_group.add_argument('--int8', action='store_true',
                              help='Run encoder dense layers as W8A8 int8 '
                                   'MXU matmuls (TPU-native extension; ~2x '
@@ -178,6 +184,7 @@ def main():
         min_depth=args.min_depth,
         colormap=get_colormap(args.colormap),
         save_raw_depth=not args.no_raw_depth,
+        batch_size=args.batch,
     )
     processor.process(show_preview=args.preview)
 

@@ -89,6 +89,34 @@ class TestDepthProcessor:
         proc = DepthProcessor(tiny_model(), src, str(tmp_path / "out"), mode="images")
         assert proc.process() == 12
 
+    def test_batched_matches_sequential(self, frame_folder, tmp_path):
+        # The fused micro-batch program (model + vmapped backprojection, one
+        # dispatch per 8 frames) must emit the same per-frame artifacts as
+        # the reference-exact frame-sequential loop (batch_size=1), including
+        # the padded short tail (12 = 8 + 4).
+        model = tiny_model(metric=True, max_depth=5.0)
+        proc1 = DepthProcessor(model, FolderSource(frame_folder),
+                               str(tmp_path / "seq"), mode="both",
+                               max_depth=5.0, batch_size=1)
+        procB = DepthProcessor(model, FolderSource(frame_folder),
+                               str(tmp_path / "bat"), mode="both",
+                               max_depth=5.0, batch_size=8)
+        assert proc1.process() == 12
+        assert procB.process() == 12
+        seq_npys = sorted((tmp_path / "seq" / "depth_images").glob("*.npy"))
+        bat_npys = sorted((tmp_path / "bat" / "depth_images").glob("*.npy"))
+        assert [p.name for p in seq_npys] == [p.name for p in bat_npys]
+        for a, b in zip(seq_npys, bat_npys):
+            np.testing.assert_allclose(np.load(a), np.load(b),
+                                       rtol=2e-3, atol=2e-3)
+        seq_plys = sorted((tmp_path / "seq" / "pointclouds").glob("*.ply"))
+        bat_plys = sorted((tmp_path / "bat" / "pointclouds").glob("*.ply"))
+        assert [p.name for p in seq_plys] == [p.name for p in bat_plys]
+        xa, ca = read_ply(str(seq_plys[-1]))
+        xb, cb = read_ply(str(bat_plys[-1]))
+        assert xa.shape == xb.shape
+        np.testing.assert_allclose(xa, xb, rtol=2e-3, atol=2e-3)
+
 
 class TestPointCloudGenerator:
     def test_camera_frame_points(self):

@@ -113,11 +113,20 @@ def config2_depth_images(results):
         src = FolderSource(TUNNEL1)
         proc = DepthProcessor(model=model, source=src, output_dir=td,
                               mode="images")
-        # warm the jit on one frame shape
+        # warm the jit: one sequential-shape program + the fused batch
+        # program (depth_pipeline auto-batches folder sources)
         img0 = cv2.imread(sorted(
             os.path.join(TUNNEL1, f) for f in os.listdir(TUNNEL1)
             if f.endswith(".jpg"))[0])
         model.infer(img0)
+        import numpy as _np
+
+        h0, w0 = img0.shape[:2]
+        b0 = proc._resolve_batch()
+        if b0 > 1:
+            run = proc._fused_batch_fn(b0, h0, w0)
+            d, _ = run(model.params, _np.zeros((b0, h0, w0, 3), _np.uint8))
+            _np.asarray(d)
         t0 = time.perf_counter()
         n = proc.process(show_preview=False)
         dt = time.perf_counter() - t0

@@ -9,7 +9,13 @@ preview window, KeyboardInterrupt → clean summary.
 
 TPU-first: inference and back-projection run as one jitted program per frame
 shape; the frame source prefetches/decodes on a host thread so device compute
-overlaps I/O.
+overlaps I/O. For offline sources (folder/video) the processor micro-batches
+frames through ONE fused jitted program (preprocess → model → upsample →
+vmapped back-projection), amortizing per-dispatch overhead and running the
+encoder at its batched MXU operating point; per-frame artifacts (npy, PNGs,
+per-frame PLYs, ROS2 messages, preview) are emitted identically, in order.
+Live camera sources keep batch=1 for latency. `batch_size=1` forces the
+frame-sequential reference behavior exactly.
 """
 
 from __future__ import annotations
@@ -80,6 +86,7 @@ class DepthProcessor:
         min_depth: float = 0.1,
         colormap: int = 2,  # cv2.COLORMAP_JET
         save_raw_depth: bool = True,
+        batch_size: Optional[int] = None,  # None/0 = auto (8 offline, 1 live)
     ):
         self.model = model
         self.source = source
@@ -101,6 +108,8 @@ class DepthProcessor:
 
         self.pc_generator = PointCloudGenerator(
             source.intrinsics, downsample_factor=pointcloud_downsample)
+        self.batch_size = batch_size
+        self._batch_jit = {}
 
         self.ros2_node = None
         if enable_ros2:
@@ -119,8 +128,73 @@ class DepthProcessor:
 
     # ------------------------------------------------------------------ run
 
+    def _resolve_batch(self) -> int:
+        if self.batch_size:
+            return max(1, int(self.batch_size))
+        env = os.environ.get("TXR_DEPTH_BATCH")
+        if env:
+            return max(1, int(env))
+        from txr.io.sources import CameraSource, PrefetchSource
+
+        src = self.source
+        if isinstance(src, PrefetchSource):
+            src = src.inner
+        return 1 if isinstance(src, CameraSource) else 8
+
+    def _fused_batch_fn(self, b: int, h: int, w: int):
+        """One jitted program for a frame batch: preprocess → model →
+        upsample (+ V3 focal scaling) → vmapped back-projection."""
+        key = (b, h, w, self.mode in ("pointcloud", "both"))
+        if key in self._batch_jit:
+            return self._batch_jit[key]
+
+        import jax
+
+        from txr.ops.resize import (IMAGENET_MEAN, IMAGENET_STD,
+                                    compute_da_resize, resize_bicubic,
+                                    resize_bilinear)
+        from txr.ops.backproject import backproject_batch
+
+        m = self.model
+        model = m.model
+        in_h, in_w = compute_da_resize(h, w, m.input_size)
+        intr = self.source.intrinsics
+        v3s = 1.0
+        if m.version == "v3" and intr is not None:
+            v3s = (intr.fx + intr.fy) / 2.0 / m.focal_length_ref
+        want_pc = self.mode in ("pointcloud", "both")
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32)
+        stride = self.pc_generator.downsample
+
+        @jax.jit
+        def run(params, bgr_u8):
+            rgb = bgr_u8[..., ::-1]
+            x = rgb.astype(jnp.float32) / 255.0
+            xm = resize_bicubic(x, in_h, in_w, align_corners=False)
+            xn = (xm - mean) / std
+            depth = model.apply({"params": params}, xn)
+            depth = resize_bilinear(depth[..., None], h, w,
+                                    align_corners=True)[..., 0] * v3s
+            if not want_pc:
+                return depth, ()
+            ps = backproject_batch(depth, rgb, intr.fx, intr.fy, intr.cx,
+                                   intr.cy, self.min_depth, self.max_depth,
+                                   intr.depth_scale, stride)
+            return depth, (ps.xyz, ps.rgb, ps.mask)
+
+        self._batch_jit[key] = run
+        return run
+
     def process(self, show_preview: bool = False):
-        logger.info("Starting processing with mode: %s", self.mode)
+        batch = self._resolve_batch()
+        logger.info("Starting processing with mode: %s (batch %d)",
+                    self.mode, batch)
+        if batch <= 1:
+            return self._process_sequential(show_preview)
+        return self._process_batched(batch, show_preview)
+
+    def _process_sequential(self, show_preview: bool = False):
         processed = 0
         start = time.time()
         try:
@@ -136,13 +210,7 @@ class DepthProcessor:
                         depth, image, self.max_depth, self.min_depth)
                     self._save_pointcloud(points, colors, identifier)
 
-                if self.ros2_node is not None and self.ros2_node.should_publish():
-                    self.ros2_node.publish_camera_info(self.source.intrinsics, timestamp)
-                    if self.mode in ("images", "both"):
-                        self.ros2_node.publish_depth_image(depth, timestamp)
-                    if self.mode in ("pointcloud", "both") and points is not None:
-                        self.ros2_node.publish_pointcloud(points, colors, timestamp)
-                    self.ros2_node.spin_once()
+                self._publish_ros2(depth, points, colors, timestamp)
 
                 if show_preview:
                     self._show_preview(image, depth, identifier)
@@ -159,6 +227,84 @@ class DepthProcessor:
                         processed, elapsed, processed / elapsed)
             self.cleanup()
         return processed
+
+    def _process_batched(self, batch: int, show_preview: bool = False):
+        processed = 0
+        start = time.time()
+        it = iter(self.source)
+        want_pc = self.mode in ("pointcloud", "both")
+        try:
+            done = False
+            pending = None
+            while not done or pending is not None:
+                frames = []
+                if pending is not None:
+                    frames.append(pending)
+                    pending = None
+                while len(frames) < batch:
+                    try:
+                        f = next(it)
+                    except StopIteration:
+                        done = True
+                        break
+                    # Folder sources may yield mixed sizes (the reference
+                    # tolerates them): flush the batch at a shape change.
+                    if frames and f[0].shape != frames[0][0].shape:
+                        pending = f
+                        break
+                    frames.append(f)
+                if not frames:
+                    break
+                n = len(frames)
+                # Pad short tails by repeating the last frame — keeps ONE
+                # compiled program per (batch, H, W) instead of recompiling
+                # for every remainder size; padded outputs are dropped.
+                images = np.stack([f[0] for f in frames]
+                                  + [frames[-1][0]] * (batch - n))
+                run = self._fused_batch_fn(batch, images.shape[1],
+                                           images.shape[2])
+                depths_d, ps_d = run(self.model.params, jnp.asarray(images))
+                depths = np.asarray(depths_d, np.float32)
+                if want_pc:
+                    xyz = np.asarray(ps_d[0], np.float32)
+                    rgb = np.asarray(ps_d[1], np.float32)
+                    msk = np.asarray(ps_d[2], bool)
+
+                for i in range(n):
+                    image, timestamp, identifier = frames[i]
+                    depth = depths[i]
+                    if self.mode in ("images", "both"):
+                        self._save_depth(depth, identifier)
+                    points = colors = None
+                    if want_pc:
+                        points, colors = xyz[i][msk[i]], rgb[i][msk[i]]
+                        self._save_pointcloud(points, colors, identifier)
+                    self._publish_ros2(depth, points, colors, timestamp)
+                    if show_preview:
+                        self._show_preview(image, depth, identifier)
+                    processed += 1
+                    if processed % 10 == 0:
+                        fps = processed / (time.time() - start)
+                        logger.info("Processed %d frames (%.1f fps)",
+                                    processed, fps)
+        except KeyboardInterrupt:
+            logger.info("Processing interrupted by user")
+        finally:
+            elapsed = max(time.time() - start, 1e-9)
+            logger.info("Processed %d frames in %.1fs (%.1f fps)",
+                        processed, elapsed, processed / elapsed)
+            self.cleanup()
+        return processed
+
+    def _publish_ros2(self, depth, points, colors, timestamp):
+        if self.ros2_node is not None and self.ros2_node.should_publish():
+            self.ros2_node.publish_camera_info(self.source.intrinsics,
+                                               timestamp)
+            if self.mode in ("images", "both"):
+                self.ros2_node.publish_depth_image(depth, timestamp)
+            if self.mode in ("pointcloud", "both") and points is not None:
+                self.ros2_node.publish_pointcloud(points, colors, timestamp)
+            self.ros2_node.spin_once()
 
     # ------------------------------------------------------------- outputs
 
