@@ -2,22 +2,32 @@
 
 The exact brute-force kNN (txr.ops.outlier) is O(N^2) — fine to ~100k points,
 hopeless for the multi-million-point merged clouds the fusion CLIs produce.
-This variant is the TPU equivalent of Open3D's KD-tree queries
-(remove_statistical_outlier, reference depth_to_reconstruction.py:413-415):
+This is the TPU equivalent of Open3D's KD-tree queries
+(remove_statistical_outlier, reference depth_to_reconstruction.py:413-415),
+designed around the measured TPU gather law (CLAUDE.md: row gathers are
+DESCRIPTOR-bound at ~50M rows/s regardless of row width):
 
-  1. bin points into cells of edge `cell` (≈ the expected kNN radius),
-  2. sort by packed cell key (10 bits/axis → one int32; the grid is clamped
-     to 1024^3 — pick `cell` accordingly),
-  3. per query point, scan the 27 neighbor cells; each cell's row range comes
-     from two binary searches into the sorted keys; up to `per_cell`
-     candidates per cell are gathered and ranked with top_k.
+  1. bin points into cells of edge `cell` (9 bits/axis, z in the low bits so
+     a [z-1, z+1] span is CONTIGUOUS in key space),
+  2. sort points by packed cell key,
+  3. build a direct-address table T over all 2^27 flat keys with
+     T[c] = first sorted index with key >= c — a boundary scatter (one row
+     per occupied cell) followed by a reverse cummin; this replaces
+     per-query vectorized binary searches (searchsorted = ~20 gather passes),
+  4. per query, the 27 neighbor cells collapse into NINE (dx, dy) ranges
+     (the 3-cell z-span per column is one contiguous sorted-index interval);
+     each range needs ONE gather into a (2^27, 2) lo/hi table and ONE gather
+     into a pre-packed sliding-window array PW[i] = sxyz[i : i + W] — so a
+     query costs 18 gather descriptors instead of the ~1300 of the
+     searchsorted + per-candidate formulation (measured ~6 s -> sub-second
+     at 1M points, tools/probe_merge.py).
 
-Approximate only in the tail: points whose true k-th neighbor lies beyond the
-27-cell neighborhood (or past `per_cell` occupancy) see a truncated
-neighborhood; the missing neighbors are charged 2*cell each, so the bias is
-conservative (sparse points look farther, never closer). `auto_cell` picks
-the cell size from the data's bounding box and count so dense regions hit
-their full k.
+Approximate only in the tail: each (dx, dy) range is truncated to
+W = 3 * per_cell candidates (taken in sorted z order, so over-extension at
+z borders drops first); missing neighbors are charged 2 * cell each, so the
+bias is conservative (sparse points look farther, never closer). `auto_cell`
+picks the cell size from the data's bounding box and count so dense regions
+hit their full k.
 """
 
 from __future__ import annotations
@@ -28,8 +38,9 @@ import jax
 import jax.numpy as jnp
 
 _BIG = jnp.float32(3.0e38)
-_BITS = 10
+_BITS = 9
 _GRID = 1 << _BITS  # cells per axis
+_NKEYS = 1 << (3 * _BITS)
 
 
 @partial(jax.jit, static_argnames=("k", "per_cell"))
@@ -38,21 +49,50 @@ def auto_cell(xyz: jnp.ndarray, mask: jnp.ndarray, k: int = 20,
     """Data-driven grid cell size for grid_knn_mean_distance.
 
     Targets an expected occupancy tau per cell such that the 27-cell
-    neighborhood holds ~3k candidates without exceeding the per_cell gather
-    cap: tau = min(0.6*per_cell, k/9, >=1). cell = spacing * tau^(1/3) with
-    spacing estimated from the bounding-box volume (planar clouds
-    underestimate spacing, which truncates neighborhoods conservatively —
-    outlier removal then only gets stricter, never looser). Clamped so the
-    longest bbox edge still fits the 1024-cell grid.
+    neighborhood holds ~3k candidates without exceeding the per-range gather
+    cap: tau = min(0.6*per_cell, k/9, >=1). A bounding-box volume estimate
+    alone is fooled by far outlier clusters (they stretch the bbox, the cell
+    comes out many times the true spacing, every window truncates, and the
+    inflated variance lets outliers through the mu+2*sigma test), so the
+    bbox guess is REFINED by measuring the median occupancy of occupied
+    cells at the guess size and rescaling by (tau/median)^(1/3). Planar
+    clouds underestimate spacing, which truncates neighborhoods
+    conservatively — outlier removal then only gets stricter, never looser.
+    Clamped so the longest bbox edge still fits the 512-cell grid.
     """
     big = jnp.float32(3.0e38)
+    n = xyz.shape[0]
     lo = jnp.min(jnp.where(mask[:, None], xyz, big), axis=0)
     hi = jnp.max(jnp.where(mask[:, None], xyz, -big), axis=0)
     ext = jnp.maximum(hi - lo, 1e-9)
     cnt = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
     spacing = jnp.cbrt(ext[0] * ext[1] * ext[2] / cnt)
     tau = jnp.maximum(jnp.minimum(0.6 * per_cell, k / 9.0), 1.0)
-    cell = spacing * jnp.cbrt(tau)
+    cell0 = jnp.maximum(spacing * jnp.cbrt(tau),
+                        jnp.max(ext) / (_GRID - 2))
+
+    # Occupancy probe at cell0: median points-per-occupied-cell.
+    cc = jnp.clip(jnp.floor((xyz - lo) / cell0).astype(jnp.int32),
+                  0, _GRID - 1)
+    key = (cc[:, 0] << (2 * _BITS)) | (cc[:, 1] << _BITS) | cc[:, 2]
+    key = jnp.where(mask, key, jnp.int32(_NKEYS))
+    skey = jax.lax.sort(key)
+    smv = skey < _NKEYS
+    first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+    first = first & smv
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    # next boundary position after i (inclusive scan from the right)
+    nb = jax.lax.cummin(
+        jnp.where(jnp.concatenate([first[1:], jnp.ones((1,), bool)]),
+                  idx + 1, jnp.int32(n)), reverse=True)
+    seg_len = jnp.where(first, nb - idx, jnp.int32(0)).astype(jnp.float32)
+    # masked median over occupied cells (sort lengths, invalid -> +inf)
+    lens = jnp.where(first, seg_len, big)
+    lens = jax.lax.sort(lens)
+    m = jnp.maximum(jnp.sum(first.astype(jnp.int32)), 1)
+    med = jnp.take(lens, (m - 1) // 2)
+    cell = cell0 * jnp.cbrt(tau / jnp.maximum(med, 1.0))
+    cell = jnp.clip(cell, 0.05 * cell0, cell0)  # only ever refine DOWN
     return jnp.maximum(cell, jnp.max(ext) / (_GRID - 2))
 
 
@@ -69,6 +109,7 @@ def grid_knn_mean_distance(
     invalid points get +BIG."""
     n = xyz.shape[0]
     k = max(1, min(k, n - 1)) if n > 1 else 1
+    W = 3 * per_cell          # candidate cap per (dx, dy) z-range
 
     big = jnp.float32(3.0e38)
     masked = jnp.where(mask[:, None], xyz, big)
@@ -76,66 +117,108 @@ def grid_knn_mean_distance(
     cc = jnp.clip(jnp.floor((xyz - min_bound) / cell).astype(jnp.int32),
                   0, _GRID - 1)
     key = (cc[:, 0] << (2 * _BITS)) | (cc[:, 1] << _BITS) | cc[:, 2]
-    key = jnp.where(mask, key, jnp.iinfo(jnp.int32).max)
+    key = jnp.where(mask, key, jnp.int32(_NKEYS))  # invalid sorts last
 
     pos0 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     skey, sx, sy, sz, sm, sperm = jax.lax.sort(
         (key, xyz[:, 0], xyz[:, 1], xyz[:, 2],
          mask.astype(jnp.int32), pos0), num_keys=1)
-    sxyz = jnp.stack([sx, sy, sz], axis=1)
     sm = sm.astype(bool)
+    # Invalid points (and the window's ragged tail) must never look like
+    # near neighbors: give them +BIG coordinates before packing.
+    sxyz = jnp.stack([sx, sy, sz], axis=1)
+    sxyz = jnp.where(sm[:, None], sxyz, big)
 
-    # 27 neighbor-cell key offsets (arithmetic, NOT bitwise — negative
-    # deltas must borrow across the packed fields).
-    offs = []
+    # ---- 3. direct-address first-index table over flat keys --------------
+    # S[c] = sorted index of the first point in cell c (occupied cells only:
+    # one scatter row per cell boundary), then T = reverse-cummin(S) gives
+    # T[c] = first sorted index with key >= c for EVERY c — exactly
+    # searchsorted(skey, c, 'left'), with no per-query binary search.
+    first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+    first = first & sm
+    scat_idx = jnp.where(first, skey, jnp.int32(_NKEYS + 8))  # OOB -> drop
+    S = jnp.full((_NKEYS + 4,), jnp.int32(n))
+    S = S.at[scat_idx].min(pos0.astype(jnp.int32), mode="drop")
+    T = jax.lax.cummin(S, reverse=True)
+    # Range table: one 2-column row per key -> (lo, hi) of the contiguous
+    # 3-z-cell span starting at that key: lo = T[c], hi = T[c + 3].
+    T2 = jnp.stack([T[:_NKEYS], T[3:_NKEYS + 3]], axis=1)  # (2^27, 2)
+
+    # ---- 4. packed sliding windows: PW[i] = sxyz[i : i + W] --------------
+    padded = jnp.concatenate([sxyz, jnp.full((W, 3), big)], axis=0)
+    PW = jnp.concatenate([padded[j:j + n] for j in range(W)],
+                         axis=1)                             # (n, 3W)
+
+    # 9 (dx, dy) column offsets; z handled by the 3-cell span.
+    col_offs = []
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
-            for dz in (-1, 0, 1):
-                offs.append(dx * (1 << (2 * _BITS)) + dy * (1 << _BITS) + dz)
-    offs = jnp.asarray(offs, jnp.int32)  # (27,)
+            col_offs.append((dx, dy))
 
     pad = (-n) % chunk
-    q_key = jnp.pad(key, (0, pad), constant_values=jnp.iinfo(jnp.int32).max)
-    q_xyz = jnp.pad(xyz, ((0, pad), (0, 0)))
-    q_mask = jnp.pad(mask, (0, pad))
+    # Pre-pad the sorted query arrays: dynamic_slice clamps at array ends,
+    # which would misalign the final chunk.
+    sxyz_p = jnp.concatenate([sxyz, jnp.full((pad, 3), big)], axis=0)
+    sm_p = jnp.concatenate([sm, jnp.zeros((pad,), bool)])
+    skey_p = jnp.concatenate(
+        [skey, jnp.full((pad,), jnp.int32(_NKEYS))])
     num_chunks = (n + pad) // chunk
 
     def body(_, ci):
-        qk = jax.lax.dynamic_slice_in_dim(q_key, ci * chunk, chunk)      # (C,)
-        qx = jax.lax.dynamic_slice_in_dim(q_xyz, ci * chunk, chunk)      # (C,3)
-        qm = jax.lax.dynamic_slice_in_dim(q_mask, ci * chunk, chunk)
+        # Queries processed in SORTED order: coordinates come from plain
+        # dynamic slices of the sorted arrays (no gathers), and the self-
+        # candidate is the one whose global sorted index equals the query's.
+        base = ci * chunk
+        qx = jax.lax.dynamic_slice_in_dim(sxyz_p, base, chunk)    # (C,3)
+        qm = jax.lax.dynamic_slice_in_dim(sm_p, base, chunk)
+        qk = jax.lax.dynamic_slice_in_dim(skey_p, base, chunk)
+        zx = qk >> (2 * _BITS)
+        zy = (qk >> _BITS) & (_GRID - 1)
+        zz = qk & (_GRID - 1)
+        qpos = jax.lax.broadcasted_iota(jnp.int32, (chunk,), 0) + base
 
-        nk = qk[:, None] + offs[None, :]                                  # (C,27)
-        starts = jnp.searchsorted(skey, nk.reshape(-1), side="left")
-        ends = jnp.searchsorted(skey, nk.reshape(-1), side="right")
-        starts = starts.reshape(chunk, 27)
-        counts = (ends.reshape(chunk, 27) - starts)
+        d2_all = []
+        valid_all = []
+        self_all = []
+        for dx, dy in col_offs:
+            xx = zx + dx
+            yy = zy + dy
+            inb = ((xx >= 0) & (xx < _GRID) & (yy >= 0) & (yy < _GRID)
+                   & (qk < _NKEYS))
+            z0 = jnp.maximum(zz - 1, 0)
+            k0 = (xx << (2 * _BITS)) | (yy << _BITS) | z0
+            k0 = jnp.clip(k0, 0, _NKEYS - 1)
+            rng = T2[k0]                                     # (C, 2)
+            lo = jnp.where(inb, rng[:, 0], 0)
+            hi = jnp.where(inb, rng[:, 1], 0)
+            cnt = hi - lo
+            # Over-full ranges: center the W-window in the range (the sorted
+            # order within a cell is by x, so the window ends are spatially
+            # biased; the center tracks the query's own column best).
+            lo = lo + jnp.maximum(cnt - W, 0) // 2
+            cnt = jnp.minimum(cnt, W)
+            lo_c = jnp.clip(lo, 0, n - 1)
+            cand = PW[lo_c].reshape(chunk, W, 3)             # one row gather
+            slot = jax.lax.broadcasted_iota(jnp.int32, (chunk, W), 1)
+            cv = slot < cnt[:, None]
+            d2 = jnp.sum((cand - qx[:, None, :]) ** 2, axis=-1)  # (C, W)
+            d2_all.append(d2)
+            valid_all.append(cv)
+            self_all.append((lo[:, None] + slot) == qpos[:, None])
 
-        # Gather up to per_cell candidates per neighbor cell.
-        slot = jax.lax.broadcasted_iota(jnp.int32, (chunk, 27, per_cell), 2)
-        cand = starts[:, :, None] + slot                                  # (C,27,P)
-        cand_valid = slot < counts[:, :, None]
-        cand = jnp.clip(cand, 0, n - 1).reshape(chunk, 27 * per_cell)
-        cand_valid = cand_valid.reshape(chunk, 27 * per_cell)
-
-        cxyz = sxyz[cand]                                                 # (C,M,3)
-        cm = sm[cand] & cand_valid
-        d2 = jnp.sum((cxyz - qx[:, None, :]) ** 2, axis=-1)
-        # Exclude self: identical position at distance 0 — drop exactly one
-        # zero by masking the first zero occurrence; cheaper: add +BIG where
-        # the candidate row maps back to the query row itself.
-        qpos = jax.lax.broadcasted_iota(jnp.int32, (chunk,), 0) + ci * chunk
-        self_hit = sperm[cand] == qpos[:, None]
-        d2 = jnp.where(cm & ~self_hit, d2, _BIG)
+        d2 = jnp.concatenate(d2_all, axis=1)                 # (C, 9W)
+        cv = jnp.concatenate(valid_all, axis=1)
+        sh = jnp.concatenate(self_all, axis=1)
+        d2 = jnp.where(cv & ~sh, d2, _BIG)
 
         neg_top, _ = jax.lax.top_k(-d2, k)
         nn_d = jnp.sqrt(jnp.maximum(-neg_top, 0.0))
         valid_nn = (-neg_top) < 1.0e37
         cnt = jnp.sum(valid_nn.astype(jnp.int32), axis=-1)
-        # Neighbors missing from the truncated 27-cell window lie at least a
-        # cell away; charge them 2*cell so sparse points read FARTHER, never
-        # closer (averaging only the found neighbors under-estimated isolated
-        # points' distances and let planted outlier clusters survive).
+        # Neighbors missing from the truncated window lie at least a cell
+        # away; charge them 2*cell so sparse points read FARTHER, never
+        # closer (averaging only the found neighbors under-estimated
+        # isolated points' distances and let outlier clusters survive).
         found_sum = jnp.sum(jnp.where(valid_nn, nn_d, 0.0), axis=-1)
         mean_d = (found_sum + (k - cnt).astype(jnp.float32) * 2.0 * cell) / k
         # Points with no neighbors found at all are extreme outliers.
@@ -143,4 +226,9 @@ def grid_knn_mean_distance(
         return None, jnp.where(qm, mean_d, _BIG)
 
     _, out = jax.lax.scan(body, None, jnp.arange(num_chunks))
-    return out.reshape(-1)[:n]
+    out_sorted = out.reshape(-1)[:n]
+
+    # Unsort via a second small sort (cheaper than a scatter at this scale:
+    # CLAUDE.md gather/scatter law).
+    _, restored = jax.lax.sort((sperm, out_sorted), num_keys=1)
+    return restored
