@@ -42,7 +42,10 @@ from txr.fusion.packed_map import pack_keys, unpack_keys
 from txr.ops.scan import segmented_cumsum_cols
 from txr.ops.segment import INT_MAX
 
-_SIGN = jnp.int32(-2147483648)  # 0x80000000
+# Python int, not np.int32: np-scalar module constants become captured
+# device-array consts that jax 0.9's C++ jit fastpath can drop on repeat
+# calls (see txr/ops/grid_knn.py _BIG note).
+_SIGN = -2147483648  # 0x80000000
 W_MAX = 2047                    # 11-bit weight saturation
 
 

@@ -36,7 +36,7 @@ from txr.ops.scan import matmul_cumsum
 from txr.ops.segment import INT_MAX
 
 _HALF_RANGE = 1 << 17  # 2^17 cells per semi-axis
-_SIGN = jnp.int32(-2147483648)  # 0x80000000 as int32
+_SIGN = -2147483648  # 0x80000000 as int32 (Python int: see offset_map)
 
 
 def pack_keys(kx, ky, kz, valid):

@@ -79,9 +79,14 @@ def transform_to_world(points: PointSet, R: jnp.ndarray, t: jnp.ndarray) -> Poin
     return PointSet(xyz=xyz, rgb=points.rgb, mask=points.mask)
 
 
-# Batched variant: depth (B, H, W), rgb (B, H, W, 3), poses (B, 3, 3)/(B, 3)
+# Batched variant: depth (B, H, W), rgb (B, H, W, 3), poses (B, 3, 3)/(B, 3).
+# vmaps the RAW function: composing the jitted one inside an outer trace
+# converts Python-float intrinsics to captured Arrays (lifted constvars),
+# which jax 0.9's C++ fastpath drops on later cache hits (see
+# txr/pipelines/fusion_pipeline.py _raw).
 backproject_batch = jax.vmap(
-    backproject, in_axes=(0, 0, None, None, None, None, None, None, None, None)
+    backproject.__wrapped__,
+    in_axes=(0, 0, None, None, None, None, None, None, None, None)
 )
 
 

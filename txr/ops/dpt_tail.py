@@ -118,7 +118,7 @@ def _tail_kernel(x0_ref, x1_ref, mw_ref, w2_ref, b2_ref, w3_ref, o_ref,
         hi = jnp.clip(lo + 1, 0, hin - 1)
         lo_l = lo - start
         hi_l = hi - start
-        valid = jnp.float32(1.0) * ((g >= 0) & (g < hout))
+        valid = ((g >= 0) & (g < hout)).astype(jnp.float32)
 
         a0 = x0_ref[0, jnp.clip(lo_l, 0, hbi - 1)]          # (Win, C)
         a1 = x1_ref[0, jnp.clip(lo_l - hbi, 0, hbi - 1)]

@@ -37,7 +37,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-_BIG = jnp.float32(3.0e38)
+# Python float, NOT np.float32: np-scalar module constants become device
+# ArrayImpls under jax 0.9 (globally cached), get captured as lifted
+# consts in later traces, and the C++ jit fastpath then drops them on
+# repeat same-structure calls ("Execution supplied N buffers but
+# compiled program expected N+1"). A Python float stays a jaxpr literal.
+_BIG = 3.0e38
 _BITS = 9
 _GRID = 1 << _BITS  # cells per axis
 _NKEYS = 1 << (3 * _BITS)
@@ -60,7 +65,7 @@ def auto_cell(xyz: jnp.ndarray, mask: jnp.ndarray, k: int = 20,
     conservatively — outlier removal then only gets stricter, never looser.
     Clamped so the longest bbox edge still fits the 512-cell grid.
     """
-    big = jnp.float32(3.0e38)
+    big = 3.0e38  # Python float: stays a jaxpr literal (see _BIG note)
     n = xyz.shape[0]
     lo = jnp.min(jnp.where(mask[:, None], xyz, big), axis=0)
     hi = jnp.max(jnp.where(mask[:, None], xyz, -big), axis=0)
@@ -75,7 +80,7 @@ def auto_cell(xyz: jnp.ndarray, mask: jnp.ndarray, k: int = 20,
     cc = jnp.clip(jnp.floor((xyz - lo) / cell0).astype(jnp.int32),
                   0, _GRID - 1)
     key = (cc[:, 0] << (2 * _BITS)) | (cc[:, 1] << _BITS) | cc[:, 2]
-    key = jnp.where(mask, key, jnp.int32(_NKEYS))
+    key = jnp.where(mask, key, _NKEYS)
     skey = jax.lax.sort(key)
     smv = skey < _NKEYS
     first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
@@ -84,8 +89,8 @@ def auto_cell(xyz: jnp.ndarray, mask: jnp.ndarray, k: int = 20,
     # next boundary position after i (inclusive scan from the right)
     nb = jax.lax.cummin(
         jnp.where(jnp.concatenate([first[1:], jnp.ones((1,), bool)]),
-                  idx + 1, jnp.int32(n)), reverse=True)
-    seg_len = jnp.where(first, nb - idx, jnp.int32(0)).astype(jnp.float32)
+                  idx + 1, n), reverse=True)
+    seg_len = jnp.where(first, nb - idx, 0).astype(jnp.float32)
     # masked median over occupied cells (sort lengths, invalid -> +inf)
     lens = jnp.where(first, seg_len, big)
     lens = jax.lax.sort(lens)
@@ -111,13 +116,13 @@ def grid_knn_mean_distance(
     k = max(1, min(k, n - 1)) if n > 1 else 1
     W = 3 * per_cell          # candidate cap per (dx, dy) z-range
 
-    big = jnp.float32(3.0e38)
+    big = 3.0e38  # Python float: stays a jaxpr literal (see _BIG note)
     masked = jnp.where(mask[:, None], xyz, big)
     min_bound = jnp.min(masked, axis=0)
     cc = jnp.clip(jnp.floor((xyz - min_bound) / cell).astype(jnp.int32),
                   0, _GRID - 1)
     key = (cc[:, 0] << (2 * _BITS)) | (cc[:, 1] << _BITS) | cc[:, 2]
-    key = jnp.where(mask, key, jnp.int32(_NKEYS))  # invalid sorts last
+    key = jnp.where(mask, key, _NKEYS)  # invalid sorts last
 
     pos0 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     skey, sx, sy, sz, sm, sperm = jax.lax.sort(
@@ -136,8 +141,8 @@ def grid_knn_mean_distance(
     # searchsorted(skey, c, 'left'), with no per-query binary search.
     first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
     first = first & sm
-    scat_idx = jnp.where(first, skey, jnp.int32(_NKEYS + 8))  # OOB -> drop
-    S = jnp.full((_NKEYS + 4,), jnp.int32(n))
+    scat_idx = jnp.where(first, skey, _NKEYS + 8)  # OOB -> drop
+    S = jnp.full((_NKEYS + 4,), n, jnp.int32)
     S = S.at[scat_idx].min(pos0.astype(jnp.int32), mode="drop")
     T = jax.lax.cummin(S, reverse=True)
     # Range table: one 2-column row per key -> (lo, hi) of the contiguous
@@ -161,7 +166,7 @@ def grid_knn_mean_distance(
     sxyz_p = jnp.concatenate([sxyz, jnp.full((pad, 3), big)], axis=0)
     sm_p = jnp.concatenate([sm, jnp.zeros((pad,), bool)])
     skey_p = jnp.concatenate(
-        [skey, jnp.full((pad,), jnp.int32(_NKEYS))])
+        [skey, jnp.full((pad,), _NKEYS, jnp.int32)])
     num_chunks = (n + pad) // chunk
 
     def body(_, ci):

@@ -21,7 +21,7 @@ from txr.ops.segment import INT_MAX, sorted_voxel_reduce
 def _voxel_keys(xyz: jnp.ndarray, mask: jnp.ndarray, voxel_size) -> tuple:
     """Integer voxel coords relative to the masked min-bound; invalid points
     get INT_MAX keys so they sort to the tail."""
-    big = jnp.float32(3.0e38)
+    big = 3.0e38  # Python float: stays a jaxpr literal
     masked = jnp.where(mask[:, None], xyz, big)
     min_bound = jnp.min(masked, axis=0)
     rel = jnp.floor((xyz - min_bound) / voxel_size).astype(jnp.int32)

@@ -129,6 +129,11 @@ class DepthProcessor:
     # ------------------------------------------------------------------ run
 
     def _resolve_batch(self) -> int:
+        # The fused batch program needs the real Flax model + params; model
+        # stubs/wrappers that only expose infer() run the sequential loop.
+        if getattr(self.model, "model", None) is None or \
+                getattr(self.model, "params", None) is None:
+            return 1
         if self.batch_size:
             return max(1, int(self.batch_size))
         env = os.environ.get("TXR_DEPTH_BATCH")

@@ -30,6 +30,7 @@ except ImportError:  # pragma: no cover
     cv2 = None
 
 from txr.core.config import ReconstructionConfig
+from txr.core.types import PointSet
 from txr.geometry.epipolar import essential_ransac
 from txr.geometry.pose import recover_pose
 from txr.geometry.triangulate import triangulate, reprojection_error
@@ -38,6 +39,10 @@ from txr.geometry.features import SIFTDetector, Features, match_features
 from txr.fusion.pointcloud import depth_to_pointcloud, merge_pointclouds
 from txr.io.depth_io import load_depth, find_matching_depth
 from txr.io.ply import write_ply
+from txr.ops.backproject import backproject_world
+from txr.ops.matching import match_l2_ratio
+from txr.ops.outlier import remove_statistical_outliers_grid
+from txr.ops.voxel import voxel_downsample
 
 
 @partial(jax.jit, static_argnames=("num_hypotheses",))
@@ -146,6 +151,130 @@ def sparse_to_world(X: jnp.ndarray, valid: jnp.ndarray,
     return Xw, ok
 
 
+# Raw (unjitted) views of inner ops for composition INSIDE the batched
+# programs below. Calling a jitted function with Python-float arguments
+# inside another trace converts those floats to concrete Arrays (through
+# jax's global scalar cache) which are then captured as lifted constvars of
+# the outer executable — and jax 0.9's C++ fastpath drops lifted constants
+# on later cache hits ("Execution supplied N buffers but compiled program
+# expected N+1"). The raw functions keep Python scalars as jaxpr literals.
+def _raw(f):
+    return getattr(f, "__wrapped__", f)
+
+
+_backproject_world_raw = _raw(backproject_world)
+_voxel_downsample_raw = _raw(voxel_downsample)
+_outliers_grid_raw = _raw(remove_statistical_outliers_grid)
+
+
+# --- batched whole-sequence programs (constant dispatch count) -------------
+#
+# The frame-sequential loop pays ~6 device dispatches + syncs PER FRAME
+# (match, pair_step, two count fetches, scale, cloud, ...). Through a relay
+# with tens of ms per round trip that overhead dominates the pipeline
+# (tools/profile_fusion_cli.py). Pair computations are mutually independent
+# — every pair is (i-1, i) over the FIXED image list regardless of later
+# skip decisions — so the whole sequence runs as THREE batched programs:
+# (1) all pair matches + pair steps, (2) all scale estimates against the
+# host-chained poses, (3) all dense clouds + the device-resident merge.
+# Host Python keeps only the skip/chain/EMA logic (exact reference
+# semantics, depth_to_reconstruction.py:479-671).
+
+@partial(jax.jit, static_argnames=("num_hypotheses",))
+def _pairs_batch(desc, fmask, fuv, K, keys, match_ratio, ransac_threshold,
+                 min_depth, max_depth, num_hypotheses: int = 1024):
+    """Match + pair_step for every consecutive frame pair.
+
+    desc/fmask/fuv: (N, cap, ...) stacked features. Returns per-pair
+    (R, t, X, valid, n_inl, n_match, uv1, uv2, ok) with leading dim N-1.
+    """
+
+    def one(d1, m1, u1, d2, m2, u2, key):
+        idx2, ok = match_l2_ratio(d1, d2, m1, m2, match_ratio)
+        uv2 = u2[idx2]
+        R, t, X, valid, n_inl = pair_step(
+            u1, uv2, ok, K, key, ransac_threshold, min_depth, max_depth,
+            num_hypotheses=num_hypotheses)
+        return R, t, X, valid, n_inl, jnp.sum(ok), u1, uv2, ok
+
+    # lax.map (not vmap): the per-pair (cap, cap) match-distance matrix is
+    # ~268 MB f32 at cap 8192 — serializing pairs inside the ONE program
+    # keeps peak memory at a single pair while every pair's matmul still
+    # fills the MXU.
+    return jax.lax.map(
+        lambda args: one(*args),
+        (desc[:-1], fmask[:-1], fuv[:-1], desc[1:], fmask[1:], fuv[1:], keys))
+
+
+@jax.jit
+def _scales_batch(X, valid, uv1, uv2, depths, R_prev, t_prev):
+    """Init-pair scales + per-view world-frame scales in one program.
+
+    X/valid/uv1/uv2: (P, cap, ...) pair outputs (device-resident from
+    _pairs_batch). depths: (N, H, W). R_prev/t_prev: (P, 3, 3)/(P, 3) —
+    entry p holds the chained pose of the LAST SUCCESSFUL view before view
+    p+1 (host-computed; entry 0 unused).
+    Returns (s1, s2, n_valid0, sw (P,), ok_n (P,)).
+    """
+    s1 = estimate_scale(X[0], uv1[0], valid[0], depths[0])
+    s2 = estimate_scale(X[0], uv2[0], valid[0], depths[1])
+    n_valid0 = jnp.sum(valid[0])
+
+    def one(Xp, vp, u2p, Rp, tp, depth_i):
+        Xw, ok = sparse_to_world(Xp, vp, Rp, tp)
+        s = estimate_scale(Xw, u2p, ok, depth_i)
+        return s, jnp.sum(ok)
+
+    sw, ok_n = jax.vmap(one)(X, valid, uv2, R_prev, t_prev, depths[1:])
+    return s1, s2, n_valid0, sw, ok_n
+
+
+_DENSE_MERGE_CACHE: dict = {}
+
+
+def _dense_merge_batch_fn(fx, fy, cx, cy, min_depth, max_depth, voxel_size,
+                          outlier_std_ratio, subsample: int,
+                          outlier_neighbors: int):
+    """Per-config jitted dense+merge program: back-project every kept view
+    and merge ON DEVICE (vmapped backproject_world → flat PointSet → voxel
+    downsample → grid statistical outlier removal); only the final compacted
+    cloud crosses to the host. Camera/merge scalars are CLOSED OVER rather
+    than passed as runtime args: a shared jit entry hit with many
+    same-structure scalar-arg combinations tripped a runtime buffer-count
+    mismatch ("supplied 14 buffers but compiled program expected 15"), and
+    trace-time constants fold better anyway. One jit object per config
+    tuple; compile count per (config, shape) is unchanged."""
+    key = (fx, fy, cx, cy, min_depth, max_depth, voxel_size,
+           outlier_std_ratio, subsample, outlier_neighbors)
+    if key in _DENSE_MERGE_CACHE:
+        return _DENSE_MERGE_CACHE[key]
+
+    @jax.jit
+    def run(depths, bgrs, Rs, ts, scales, keep):
+        def one(depth, bgr, Ri, ti, s):
+            return _backproject_world_raw(depth, bgr[..., ::-1], Ri, ti,
+                                          fx, fy, cx, cy, min_depth,
+                                          max_depth, s, subsample)
+
+        ps = jax.vmap(one)(depths, bgrs, Rs, ts, scales)
+        m = ps.mask & keep[:, None]
+        counts = jnp.sum(m, axis=1)
+        flat = PointSet(ps.xyz.reshape(-1, 3), ps.rgb.reshape(-1, 3),
+                        m.reshape(-1))
+        out = _voxel_downsample_raw(flat, voxel_size)
+        out = _outliers_grid_raw(
+            out, None, nb_neighbors=outlier_neighbors,
+            std_ratio=outlier_std_ratio)
+        return out, counts
+
+    _DENSE_MERGE_CACHE[key] = run
+    return run
+
+
+def _pad_pow2(n: int, lo: int = 1) -> int:
+    return max(lo, 1 << int(np.ceil(np.log2(max(n, 1)))))
+
+
 class DepthToReconstructionPipeline:
     """RGB + precomputed depth → fused PLY (reference CLI #1)."""
 
@@ -206,7 +335,14 @@ class DepthToReconstructionPipeline:
         return (jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(mask))
 
     def reconstruct(self):
-        """Run the full pipeline. Returns (points, colors[0..255], poses)."""
+        """Run the full pipeline. Returns (points, colors[0..255], poses).
+
+        Sequence-batched: three jitted programs total (pairs, scales,
+        dense+merge) regardless of frame count — see _pairs_batch. Host
+        Python carries only the reference's skip / pose-chain / scale-EMA
+        logic (depth_to_reconstruction.py:479-671). Frame counts are padded
+        to a power of two so programs compile once per shape bucket.
+        """
         cfg = self.config
         if len(self.images) < 2:
             self._log("Need at least 2 images")
@@ -222,107 +358,147 @@ class DepthToReconstructionPipeline:
         self._log(f"Features detected for {len(features)} frames "
                   f"({time.time() - t0:.2f}s)")
 
-        all_clouds: List[Tuple[np.ndarray, np.ndarray]] = []
+        n = len(self.images)
+        n_pairs = n - 1
+        p2 = _pad_pow2(n_pairs)
+        n2 = p2 + 1
 
-        # ---- Step 1: initialize with the first pair -----------------------
+        cap = features[0].uv.shape[0]
+        desc = np.zeros((n2, cap, features[0].desc.shape[1]), np.float32)
+        fuv = np.zeros((n2, cap, 2), np.float32)
+        fmask = np.zeros((n2, cap), bool)
+        for i, f in enumerate(features):
+            desc[i], fuv[i], fmask[i] = f.desc, f.uv, f.mask
+        h, w = self.depths[0].shape[:2]
+        depths = np.zeros((n2, h, w), np.float32)
+        depths[:n] = np.stack(self.depths)
+
+        # Same key sequence the frame-sequential loop drew (one _next_key()
+        # per pair) — keeps the committed golden cloud bit-stable.
+        keys = jnp.stack([self._next_key() for _ in range(p2)])
+
+        # ---- program 1: all pair matches + pose/structure ------------------
+        (R_rel, t_rel, X, valid, n_inl, n_match, uv1b, uv2b, _okb) = \
+            _pairs_batch(jnp.asarray(desc), jnp.asarray(fmask),
+                         jnp.asarray(fuv), K, keys, cfg.match_ratio,
+                         cfg.ransac_threshold, cfg.min_depth, cfg.max_depth)
+        # one small fetch: pose + counts for the host chain (X/uv stay on
+        # device for the scale program)
+        R_rel_h = np.asarray(R_rel)
+        t_rel_h = np.asarray(t_rel)
+        n_inl_h = np.asarray(n_inl)
+        n_match_h = np.asarray(n_match)
+
+        # ---- Step 1: initialize with the first pair ------------------------
         self._log("\n--- Step 1: Initialize with first pair ---")
-        uv1, uv2, mmask = self._match_pair(features[0], features[1])
-        n_matches = int(jnp.sum(mmask))
-        self._log(f"Feature matches: {n_matches}")
-        if n_matches < 8:
+        self._log(f"Feature matches: {int(n_match_h[0])}")
+        if int(n_match_h[0]) < 8:
             self._log("Insufficient matches for initialization")
             return None, None, None
+        self._log(f"Inliers: {int(n_inl_h[0])}")
 
-        R, t, X, valid, n_inl = pair_step(
-            uv1, uv2, mmask, K, self._next_key(),
-            cfg.ransac_threshold, cfg.min_depth, cfg.max_depth,
-        )
-        self._log(f"Inliers: {int(n_inl)}")
-        n_valid = int(jnp.sum(valid))
-        self._log(f"Valid sparse points: {n_valid}")
-
-        R_np, t_np = np.asarray(R), np.asarray(t)
         self.camera_poses = [
             (np.eye(3, dtype=np.float32), np.zeros(3, np.float32)),
-            (R_np, t_np),
+            (R_rel_h[0], t_rel_h[0]),
         ]
+
+        # Host pose chain with the reference's skip rules; R_prev[p] is the
+        # last successful pose before view p+1 (feeds the scale program).
+        R_prev = np.tile(np.eye(3, dtype=np.float32), (p2, 1, 1))
+        t_prev = np.zeros((p2, 3), np.float32)
+        processed: List[int] = []
+        skip_reason: dict = {}
+        for i in range(2, n):
+            p = i - 1
+            if int(n_match_h[p]) < 8:
+                skip_reason[i] = f"insufficient matches ({int(n_match_h[p])})"
+                continue
+            if int(n_inl_h[p]) < 8:
+                skip_reason[i] = f"insufficient inliers ({int(n_inl_h[p])})"
+                continue
+            Rp, tp = self.camera_poses[-1]
+            R_prev[p], t_prev[p] = Rp, tp
+            R_curr = R_rel_h[p] @ Rp
+            t_curr = R_rel_h[p] @ tp + t_rel_h[p]
+            self.camera_poses.append((R_curr, t_curr))
+            processed.append(i)
+
+        # ---- program 2: all scale estimates --------------------------------
+        s1_d, s2_d, n_valid0_d, sw_d, okn_d = _scales_batch(
+            X, valid, uv1b, uv2b, jnp.asarray(depths),
+            jnp.asarray(R_prev), jnp.asarray(t_prev))
+        n_valid0 = int(n_valid0_d)
+        self._log(f"Valid sparse points: {n_valid0}")
+        sw_h = np.asarray(jax.vmap(clamp_scale)(sw_d))
+        okn_h = np.asarray(okn_d)
 
         # ---- Step 2: depth scale from sparse anchor ------------------------
         self._log("\n--- Step 2: Estimate depth scale ---")
-        if n_valid >= 3:
-            s1 = estimate_scale(X, uv1, valid, jnp.asarray(self.depths[0]))
-            s2 = estimate_scale(X, uv2, valid, jnp.asarray(self.depths[1]))
-            avg_scale = float((clamp_scale(s1) + clamp_scale(s2)) / 2.0)
+        if n_valid0 >= 3:
+            avg_scale = float((clamp_scale(s1_d) + clamp_scale(s2_d)) / 2.0)
         else:
             self._log("Warning: Not enough sparse points for scale estimation")
             avg_scale = 1.0
         self._log(f"Average scale: {avg_scale:.6f}")
 
-        # ---- Step 3: dense clouds for the first two cameras ----------------
-        self._log("\n--- Step 3: Generate dense point clouds ---")
+        # Scale EMA chain (reference :633-650) over the processed views.
+        view_R = np.zeros((n2, 3, 3), np.float32)
+        view_t = np.zeros((n2, 3), np.float32)
+        view_scale = np.zeros((n2,), np.float32)
+        keep = np.zeros((n2,), bool)
         for i in (0, 1):
-            Ri, ti = self.camera_poses[i]
-            ps = depth_to_pointcloud(
-                self.depths[i], self.images[i], Ri, ti,
-                cfg.fx, cfg.fy, cfg.cx, cfg.cy,
-                scale=avg_scale, subsample=cfg.subsample_factor,
-                min_depth=cfg.min_depth, max_depth=cfg.max_depth,
-            )
-            xyz, rgb = ps.to_numpy()
-            all_clouds.append((xyz, rgb))
-            self._log(f"Camera {i}: {len(xyz)} points")
-
-        # ---- Step 4: incremental views -------------------------------------
-        self._log("\n--- Step 4: Add remaining views ---")
-        for i in range(2, len(self.images)):
-            self._log(f"\nProcessing image {i}...")
-            uvp, uvc, mm = self._match_pair(features[i - 1], features[i])
-            nm = int(jnp.sum(mm))
-            if nm < 8:
-                self._log(f"  Skipping - insufficient matches ({nm})")
-                continue
-            R_rel, t_rel, Xs, vs, n_inl = pair_step(
-                uvp, uvc, mm, K, self._next_key(),
-                cfg.ransac_threshold, cfg.min_depth, cfg.max_depth,
-            )
-            if int(n_inl) < 8:
-                self._log(f"  Skipping - insufficient inliers ({int(n_inl)})")
-                continue
-
-            R_prev, t_prev = self.camera_poses[-1]
-            R_curr = np.asarray(R_rel) @ R_prev
-            t_curr = np.asarray(R_rel) @ t_prev + np.asarray(t_rel)
-            self.camera_poses.append((R_curr, t_curr))
-
-            # Scale from this view's sparse points (world frame, reference
-            # semantics at :633-650), EMA-smoothed.
-            Xw, ok = sparse_to_world(Xs, vs, jnp.asarray(R_prev), jnp.asarray(t_prev))
-            if int(jnp.sum(ok)) >= 3:
-                scale_i = float(clamp_scale(
-                    estimate_scale(Xw, uvc, ok, jnp.asarray(self.depths[i]))))
+            view_R[i], view_t[i] = self.camera_poses[i]
+            view_scale[i] = avg_scale
+            keep[i] = True
+        pose_idx = 2
+        scale_warn: dict = {}
+        for i in processed:
+            p = i - 1
+            if int(okn_h[p]) >= 3:
+                scale_i = float(sw_h[p])
             else:
-                self._log("  Warning: Not enough valid points for scale, using previous")
+                scale_warn[i] = True
                 scale_i = avg_scale
             avg_scale = 0.7 * avg_scale + 0.3 * scale_i
+            view_R[i], view_t[i] = self.camera_poses[pose_idx]
+            view_scale[i] = avg_scale
+            keep[i] = True
+            pose_idx += 1
 
-            ps = depth_to_pointcloud(
-                self.depths[i], self.images[i], R_curr, t_curr,
-                cfg.fx, cfg.fy, cfg.cx, cfg.cy,
-                scale=avg_scale, subsample=cfg.subsample_factor,
-                min_depth=cfg.min_depth, max_depth=cfg.max_depth,
-            )
-            xyz, rgb = ps.to_numpy()
-            all_clouds.append((xyz, rgb))
-            self._log(f"  Camera {i}: {len(xyz)} points (scale {avg_scale:.4f})")
+        # ---- program 3: dense clouds + device merge ------------------------
+        bgrs = np.zeros((n2, h, w, 3), np.uint8)
+        bgrs[:n] = np.stack(self.images)
+        dense_merge = _dense_merge_batch_fn(
+            float(cfg.fx), float(cfg.fy), float(cfg.cx), float(cfg.cy),
+            float(cfg.min_depth), float(cfg.max_depth),
+            float(cfg.voxel_size), float(cfg.outlier_std_ratio),
+            int(cfg.subsample_factor), int(cfg.outlier_neighbors))
+        merged, counts_d = dense_merge(
+            jnp.asarray(depths), jnp.asarray(bgrs), jnp.asarray(view_R),
+            jnp.asarray(view_t), jnp.asarray(view_scale), jnp.asarray(keep))
+        counts = np.asarray(counts_d)
+        points, colors = merged.to_numpy()
+        colors = colors * 255.0
+
+        # Narration (same lines/order as the frame-sequential reference loop).
+        self._log("\n--- Step 3: Generate dense point clouds ---")
+        for i in (0, 1):
+            self._log(f"Camera {i}: {int(counts[i])} points")
+        self._log("\n--- Step 4: Add remaining views ---")
+        for i in range(2, n):
+            self._log(f"\nProcessing image {i}...")
+            self._log(f"Feature matches: {int(n_match_h[i - 1])}")
+            if i in skip_reason:
+                self._log(f"  Skipping - {skip_reason[i]}")
+                continue
+            if i in scale_warn:
+                self._log("  Warning: Not enough valid points for scale, "
+                          "using previous")
+            self._log(f"  Camera {i}: {int(counts[i])} points "
+                      f"(scale {view_scale[i]:.4f})")
 
         # ---- Step 5: merge --------------------------------------------------
         self._log("\n--- Step 5: Merge and clean point cloud ---")
-        points, colors = merge_pointclouds(
-            all_clouds,
-            voxel_size=cfg.voxel_size,
-            outlier_neighbors=cfg.outlier_neighbors,
-            outlier_std_ratio=cfg.outlier_std_ratio,
-        )
         self._log(f"\nFinal reconstruction: {len(points)} points, "
                   f"{len(self.camera_poses)} cameras")
         return points, colors, self.camera_poses
