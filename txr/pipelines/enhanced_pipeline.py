@@ -29,14 +29,94 @@ try:
 except ImportError:  # pragma: no cover
     cv2 = None
 
+from txr.core.types import PointSet
 from txr.geometry.hybrid import HybridFeatureDetector, DepthGuidedMatcher
 from txr.geometry.epipolar import fundamental_ransac
 from txr.geometry.scale import estimate_scale, clamp_scale
-from txr.pipelines.fusion_pipeline import pair_step, sparse_to_world
+from txr.ops.backproject import backproject_world
+from txr.ops.voxel import voxel_downsample
+from txr.pipelines.fusion_pipeline import (pair_step, sparse_to_world, _raw,
+                                           _pad_pow2)
 from txr.fusion.pointcloud import depth_to_pointcloud, merge_pointclouds
 from txr.io.ply import write_ply
 
 MATCH_CAPACITY = 4096
+
+_fundamental_ransac_raw = _raw(fundamental_ransac)
+_pair_step_raw = _raw(pair_step)
+_sparse_to_world_raw = _raw(sparse_to_world)
+_estimate_scale_raw = _raw(estimate_scale)   # used inside batched programs
+_backproject_world_raw = _raw(backproject_world)
+_voxel_downsample_raw = _raw(voxel_downsample)
+
+
+# --- sequence-batched programs (constant dispatch count; see
+# fusion_pipeline._pairs_batch for the rationale) ---------------------------
+
+@jax.jit
+def _enh_pairs_batch(a, b, m, K, keys_f, keys_p):
+    """RANSAC-F + pose/structure for every pair in one program.
+
+    a/b/m: (P, cap, ...) padded depth-filtered matches (hybrid matching and
+    the depth filter run on the host — the reference's own substrate).
+    Reference semantics: custom fundamental RANSAC gates the matches
+    (depth_enhanced_reconstruction.py:998-1052), then essential pose +
+    triangulation + reprojection filter (<8 px, 0.1 < Z < 100).
+    """
+
+    def one(args):
+        ai, bi, mi, kf, kp = args
+        _, inliers = _fundamental_ransac_raw(ai, bi, mi, kf, threshold=3.0)
+        mm = mi & inliers
+        n_f = jnp.sum(mm)
+        R, t, X, valid, n_inl = _pair_step_raw(ai, bi, mm, K, kp,
+                                               2.0, 0.1, 100.0, 8.0)
+        return R, t, X, valid, n_inl, n_f
+
+    return jax.lax.map(one, (a, b, m, keys_f, keys_p))
+
+
+@jax.jit
+def _enh_scales_batch(X, valid, b_uv, depths, R_prev, t_prev):
+    """World-frame sparse points + per-view scale estimates, batched."""
+
+    def one(Xp, vp, u2p, Rp, tp, depth_i):
+        Xw, ok = _sparse_to_world_raw(Xp, vp, Rp, tp)
+        s = _estimate_scale_raw(Xw, u2p, ok, depth_i)
+        return Xw, ok, s, jnp.sum(ok)
+
+    return jax.vmap(one)(X, valid, b_uv, R_prev, t_prev, depths[1:])
+
+
+_ENH_DENSE_CACHE: dict = {}
+
+
+def _enh_dense_merge_fn(fx, fy, cx, cy, subsample: int, voxel_size: float):
+    """Vmapped dense back-projection + device voxel merge (NO outlier pass —
+    this CLI's merge semantic, reference :1149); the sparse pair-0 points
+    ride along as an extra masked set."""
+    key = (fx, fy, cx, cy, subsample, voxel_size)
+    if key in _ENH_DENSE_CACHE:
+        return _ENH_DENSE_CACHE[key]
+
+    @jax.jit
+    def run(depths, bgrs, Rs, ts, scales, keep, sp_xyz, sp_rgb, sp_mask):
+        def one(depth, bgr, Ri, ti, s):
+            return _backproject_world_raw(depth, bgr[..., ::-1], Ri, ti,
+                                          fx, fy, cx, cy, 0.1, 100.0,
+                                          s, subsample)
+
+        ps = jax.vmap(one)(depths, bgrs, Rs, ts, scales)
+        m = ps.mask & keep[:, None]
+        counts = jnp.sum(m, axis=1)
+        flat = PointSet(
+            jnp.concatenate([ps.xyz.reshape(-1, 3), sp_xyz]),
+            jnp.concatenate([ps.rgb.reshape(-1, 3), sp_rgb]),
+            jnp.concatenate([m.reshape(-1), sp_mask]))
+        return _voxel_downsample_raw(flat, voxel_size), counts
+
+    _ENH_DENSE_CACHE[key] = run
+    return run
 
 
 def _pad_matches(pts1: np.ndarray, pts2: np.ndarray, capacity: int = MATCH_CAPACITY):
@@ -144,12 +224,7 @@ class DepthEnhancedReconstruction:
     def match_image_pair(self, i: int, j: int):
         """Hybrid match → depth filter → custom RANSAC-F
         (reference :998-1052). Returns (pts1, pts2) inlier arrays."""
-        pts1, pts2 = self.detector.match_features(self.features[i], self.features[j])
-        if len(pts1) < 8:
-            return pts1, pts2
-        if self.use_depth and self.depths[i] is not None:
-            pts1, pts2 = self.depth_matcher.filter_matches_by_depth(
-                pts1, pts2, self.depths[i], self.depths[j])
+        pts1, pts2 = self._match_pair_host(i, j)
         if len(pts1) < 8:
             return pts1, pts2
         a, b, m = _pad_matches(pts1, pts2)
@@ -157,6 +232,16 @@ class DepthEnhancedReconstruction:
         inl = np.asarray(inliers)[: len(pts1)]
         self._log(f"  RANSAC-F inliers: {int(inl.sum())}/{len(pts1)}")
         return pts1[inl[: len(pts1)]], pts2[inl[: len(pts1)]]
+
+    def _match_pair_host(self, i: int, j: int):
+        """Host part of pair matching: hybrid match + depth filter."""
+        pts1, pts2 = self.detector.match_features(self.features[i], self.features[j])
+        if len(pts1) < 8:
+            return pts1, pts2
+        if self.use_depth and self.depths[i] is not None:
+            pts1, pts2 = self.depth_matcher.filter_matches_by_depth(
+                pts1, pts2, self.depths[i], self.depths[j])
+        return pts1, pts2
 
     # ------------------------------------------------------------ pipeline
 
@@ -170,24 +255,123 @@ class DepthEnhancedReconstruction:
         self.detect_all_features()
 
         K = jnp.asarray(self.K.astype(np.float32))
+        n = len(self.images)
+        n_pairs = n - 1
+        p2 = _pad_pow2(n_pairs)
 
-        # ---- initialize with pair (0, 1) ---------------------------------
+        # ---- host: hybrid match + depth filter for every consecutive pair
+        # (the device work — RANSAC-F, pose, triangulation, scales, dense
+        # back-projection, merge — then runs as THREE batched programs; see
+        # fusion_pipeline._pairs_batch for the dispatch-count rationale).
+        A = np.zeros((p2, MATCH_CAPACITY, 2), np.float32)
+        B = np.zeros((p2, MATCH_CAPACITY, 2), np.float32)
+        M = np.zeros((p2, MATCH_CAPACITY), bool)
+        n_raw = np.zeros(p2, np.int64)
+        keys_f = []
+        keys_p = []
         self._log("\nMatching initial pair...")
-        pts1, pts2 = self.match_image_pair(0, 1)
-        if len(pts1) < 8:
+        for p in range(n_pairs):
+            if p >= 1:
+                self._log(f"\nProcessing image {p + 1}...")
+            pts1, pts2 = self._match_pair_host(p, p + 1)
+            n_raw[p] = len(pts1)
+            c = min(len(pts1), MATCH_CAPACITY)
+            A[p, :c] = pts1[:c]
+            B[p, :c] = pts2[:c]
+            M[p, :c] = True
+            # Same key stream the frame-sequential loop drew (F then pose).
+            keys_f.append(self._next_key())
+            keys_p.append(self._next_key())
+        for p in range(n_pairs, p2):
+            keys_f.append(self._next_key())
+            keys_p.append(self._next_key())
+
+        # ---- program 1: RANSAC-F + pose/structure for all pairs ----------
+        R_rel, t_rel, X, valid, n_inl, n_f = _enh_pairs_batch(
+            jnp.asarray(A), jnp.asarray(B), jnp.asarray(M), K,
+            jnp.stack(keys_f), jnp.stack(keys_p))
+        R_rel_h = np.asarray(R_rel)
+        t_rel_h = np.asarray(t_rel)
+        n_inl_h = np.asarray(n_inl)
+        n_f_h = np.asarray(n_f)
+
+        for p in range(n_pairs):
+            if n_raw[p] >= 8:
+                self._log(f"  RANSAC-F inliers (pair {p}): "
+                          f"{int(n_f_h[p])}/{int(n_raw[p])}")
+
+        if min(n_raw[0], n_f_h[0]) < 8:
             self._log("Insufficient matches for initialization")
             return None
-        a, b, m = _pad_matches(pts1, pts2)
-        R, t, X, valid, n_inl = pair_step(a, b, m, K, self._next_key(),
-                                          2.0, 0.1, 100.0, 8.0)
-        self._log(f"Pose inliers: {int(n_inl)}; valid sparse: {int(jnp.sum(valid))}")
+        valid0 = np.asarray(valid[0])
+        self._log(f"Pose inliers: {int(n_inl_h[0])}; "
+                  f"valid sparse: {int(valid0.sum())}")
 
-        R_np, t_np = np.asarray(R), np.asarray(t)
         self.camera_poses = [(np.eye(3, dtype=np.float32), np.zeros(3, np.float32)),
-                             (R_np, t_np)]
+                             (R_rel_h[0], t_rel_h[0])]
         # image index → pose index (views can be skipped)
         pose_of_image = {0: 0, 1: 1}
         view_scales = {}
+
+        # Host pose chain with the reference's skip rules (:1171-1238).
+        R_prev = np.tile(np.eye(3, dtype=np.float32), (p2, 1, 1))
+        t_prev = np.zeros((p2, 3), np.float32)
+        prev_pose_of_pair = {}
+        for i in range(2, n):
+            p = i - 1
+            if min(n_raw[p], n_f_h[p]) < 8:
+                self._log(f"  Skipping image {i} - insufficient matches")
+                continue
+            if int(n_inl_h[p]) < 8:
+                self._log(f"  Skipping image {i} - insufficient inliers")
+                continue
+            Rp, tp = self.camera_poses[-1]
+            prev_pose_of_pair[p] = len(self.camera_poses) - 1
+            R_prev[p], t_prev[p] = Rp, tp
+            R_curr = R_rel_h[p] @ Rp
+            t_curr = R_rel_h[p] @ tp + t_rel_h[p]
+            self.camera_poses.append((R_curr, t_curr))
+            pose_of_image[i] = len(self.camera_poses) - 1
+
+        # ---- program 2: world-frame sparse + per-view scales --------------
+        scale = 1.0
+        need_scales = self.use_depth and self.depths[0] is not None
+        if need_scales or self.use_ba:
+            # Pad to the max frame shape: matched uv never lands in the pad,
+            # and padded depth rows read 0 (< min_depth) downstream.
+            h = max(im.shape[0] for im in self.images)
+            w = max(im.shape[1] for im in self.images)
+            depth_stack = np.zeros((p2 + 1, h, w), np.float32)
+            for i, d in enumerate(self.depths[:n]):
+                if d is not None:
+                    depth_stack[i, :d.shape[0], :d.shape[1]] = d
+            Xw_d, ok_d, sw_d, okn_d = _enh_scales_batch(
+                X, valid, jnp.asarray(B), jnp.asarray(depth_stack),
+                jnp.asarray(R_prev), jnp.asarray(t_prev))
+            sw_h = np.asarray(jax.vmap(clamp_scale)(sw_d))
+            okn_h = np.asarray(okn_d)
+
+        if need_scales:
+            s0 = clamp_scale(estimate_scale(
+                X[0], jnp.asarray(A[0]), valid[0],
+                jnp.asarray(self.depths[0])))
+            s1 = clamp_scale(estimate_scale(
+                X[0], jnp.asarray(B[0]), valid[0],
+                jnp.asarray(self.depths[1])))
+            scale = float((s0 + s1) / 2.0)
+            self._log(f"Depth scale estimate: {scale:.6f}")
+        view_scales[0] = view_scales[1] = scale
+
+        # Scale EMA chain over the processed views (reference :1221-1238).
+        for i in range(2, n):
+            p = i - 1
+            if i not in pose_of_image:
+                continue
+            if self.use_depth and self.depths[i] is not None:
+                if int(okn_h[p]) >= 3:
+                    scale = 0.7 * scale + 0.3 * float(sw_h[p])
+                view_scales[i] = scale
+                self._log(f"  Camera {i}: pose chained (scale {scale:.4f})")
 
         # BA bookkeeping: sparse world points + their 2-view observations.
         ba_points: List[np.ndarray] = []
@@ -201,24 +385,21 @@ class DepthEnhancedReconstruction:
                 ba_obs.append((pose_a, base + j, uv_a[s]))
                 ba_obs.append((pose_b, base + j, uv_b[s]))
 
-        # ---- depth-scale anchor (median sparse_Z / depth) -----------------
-        scale = 1.0
-        if self.use_depth and self.depths[0] is not None:
-            s0 = clamp_scale(estimate_scale(X, a, valid, jnp.asarray(self.depths[0])))
-            s1 = clamp_scale(estimate_scale(X, b, valid, jnp.asarray(self.depths[1])))
-            scale = float((s0 + s1) / 2.0)
-            self._log(f"Depth scale estimate: {scale:.6f}")
-        view_scales[0] = view_scales[1] = scale
         if self.use_ba:
-            collect_ba(np.asarray(X), np.asarray(valid),
-                       np.asarray(a), np.asarray(b), 0, 1)
+            collect_ba(np.asarray(X[0]), valid0, A[0], B[0], 0, 1)
+            Xw_h = np.asarray(Xw_d)
+            ok_h = np.asarray(ok_d)
+            for i in range(2, n):
+                p = i - 1
+                if i in pose_of_image:
+                    collect_ba(Xw_h[p], ok_h[p], A[p], B[p],
+                               prev_pose_of_pair[p], pose_of_image[i])
 
         # Sparse reconstruction from the initial pair, colors sampled at the
         # image-0 keypoints (reference stores these and ALWAYS includes them
         # in the final cloud — depth_enhanced_reconstruction.py:1108-1165).
-        v_np = np.asarray(valid)
-        sp_xyz = np.asarray(X)[v_np]
-        uv0 = np.clip(np.asarray(a)[v_np].astype(np.int32), 0,
+        sp_xyz = np.asarray(X[0])[valid0]
+        uv0 = np.clip(A[0][valid0].astype(np.int32), 0,
                       [self.images[0].shape[1] - 1,
                        self.images[0].shape[0] - 1])
         sp_bgr = self.images[0][uv0[:, 1], uv0[:, 0]].astype(np.float32)
@@ -228,40 +409,6 @@ class DepthEnhancedReconstruction:
             sp_rgb = sp_bgr[:, ::-1]  # BGR -> RGB
         self.sparse_points = sp_xyz
         self.sparse_colors = sp_rgb
-
-        # ---- incremental views (reference :1171-1238) ---------------------
-        for i in range(2, len(self.images)):
-            self._log(f"\nProcessing image {i}...")
-            p_prev, p_curr = self.match_image_pair(i - 1, i)
-            if len(p_prev) < 8:
-                self._log("  Skipping - insufficient matches")
-                continue
-            a, b, m = _pad_matches(p_prev, p_curr)
-            R_rel, t_rel, Xs, vs, n_inl = pair_step(a, b, m, K, self._next_key(),
-                                                    2.0, 0.1, 100.0, 8.0)
-            if int(n_inl) < 8:
-                self._log("  Skipping - insufficient inliers")
-                continue
-            R_prev, t_prev = self.camera_poses[-1]
-            prev_pose_idx = len(self.camera_poses) - 1
-            R_curr = np.asarray(R_rel) @ R_prev
-            t_curr = np.asarray(R_rel) @ t_prev + np.asarray(t_rel)
-            self.camera_poses.append((R_curr, t_curr))
-            pose_of_image[i] = len(self.camera_poses) - 1
-
-            Xw, ok = sparse_to_world(Xs, vs, jnp.asarray(R_prev),
-                                     jnp.asarray(t_prev))
-            if self.use_depth and self.depths[i] is not None:
-                if int(jnp.sum(ok)) >= 3:
-                    s_i = float(clamp_scale(estimate_scale(
-                        Xw, b, ok, jnp.asarray(self.depths[i]))))
-                    scale = 0.7 * scale + 0.3 * s_i
-                view_scales[i] = scale
-                self._log(f"  Camera {i}: pose chained (scale {scale:.4f})")
-            if self.use_ba:
-                collect_ba(np.asarray(Xw), np.asarray(ok),
-                           np.asarray(a), np.asarray(b),
-                           prev_pose_idx, pose_of_image[i])
 
         # ---- bundle adjustment (the reference declares BA but never runs
         # it — depth_enhanced_reconstruction.py:45-50; ours does) ------------
@@ -278,37 +425,62 @@ class DepthEnhancedReconstruction:
             self.camera_poses = [(np.asarray(Rba[i]), np.asarray(tba[i]))
                                  for i in range(len(self.camera_poses))]
 
-        # ---- dense clouds at the (possibly refined) poses ------------------
+        # ---- program 3: dense clouds + device voxel merge ------------------
         fx, fy = self.K[0, 0], self.K[1, 1]
         cx, cy = self.K[0, 2], self.K[1, 2]
-        all_clouds = []
-        if self.use_depth:
+        have_dense = self.use_depth and any(
+            self.depths[i] is not None for i in pose_of_image)
+        if have_dense:
+            h = max(im.shape[0] for im in self.images)
+            w = max(im.shape[1] for im in self.images)
+            nv = _pad_pow2(n)
+            depths_v = np.zeros((nv, h, w), np.float32)
+            bgrs_v = np.zeros((nv, h, w, 3), np.uint8)
+            Rs = np.tile(np.eye(3, dtype=np.float32), (nv, 1, 1))
+            ts = np.zeros((nv, 3), np.float32)
+            sc = np.ones((nv,), np.float32)
+            keep = np.zeros((nv,), bool)
             for i, pose_idx in pose_of_image.items():
                 if self.depths[i] is None:
                     continue
-                Ri, ti = self.camera_poses[pose_idx]
-                ps = depth_to_pointcloud(self.depths[i], self.images[i], Ri, ti,
-                                         fx, fy, cx, cy,
-                                         scale=view_scales.get(i, scale),
-                                         subsample=self.subsample,
-                                         min_depth=0.1, max_depth=100.0)
-                xyz, rgb = ps.to_numpy()
-                all_clouds.append((xyz, rgb))
-                self._log(f"Camera {i}: {len(xyz)} dense points")
-
-        # The sparse pair-0 points always ride along (reference :1155-1165
-        # vstacks them with the dense merge, and falls back to sparse-only
-        # when depth is disabled or produced nothing).
-        if len(self.sparse_points):
-            all_clouds.append((self.sparse_points.astype(np.float32),
-                               self.sparse_colors.astype(np.float32)))
-        if not all_clouds:
-            self._log("No sparse or dense points — nothing to merge")
-            return None
-
-        # ---- merge (voxel only — reference :1149 has no outlier pass) -----
-        points, colors = merge_pointclouds(all_clouds, voxel_size=self.voxel_size,
-                                           remove_outliers=False)
+                d, im = self.depths[i], self.images[i]
+                depths_v[i, :d.shape[0], :d.shape[1]] = d
+                bgrs_v[i, :im.shape[0], :im.shape[1]] = im
+                Rs[i], ts[i] = self.camera_poses[pose_idx]
+                sc[i] = view_scales.get(i, scale)
+                keep[i] = True
+            sp_cap = MATCH_CAPACITY
+            sp_xyz_p = np.zeros((sp_cap, 3), np.float32)
+            sp_rgb_p = np.zeros((sp_cap, 3), np.float32)
+            sp_m = np.zeros((sp_cap,), bool)
+            ns = min(len(self.sparse_points), sp_cap)
+            sp_xyz_p[:ns] = self.sparse_points[:ns]
+            sp_rgb_p[:ns] = self.sparse_colors[:ns] / 255.0
+            sp_m[:ns] = True
+            dense_merge = _enh_dense_merge_fn(
+                float(fx), float(fy), float(cx), float(cy),
+                int(self.subsample), float(self.voxel_size))
+            merged, counts_d = dense_merge(
+                jnp.asarray(depths_v), jnp.asarray(bgrs_v), jnp.asarray(Rs),
+                jnp.asarray(ts), jnp.asarray(sc), jnp.asarray(keep),
+                jnp.asarray(sp_xyz_p), jnp.asarray(sp_rgb_p),
+                jnp.asarray(sp_m))
+            counts = np.asarray(counts_d)
+            for i in sorted(pose_of_image):
+                if keep[i]:
+                    self._log(f"Camera {i}: {int(counts[i])} dense points")
+            points, colors = merged.to_numpy()
+            colors = colors * 255.0
+        else:
+            # Sparse-only fallback (reference :1155-1165): voxel merge of the
+            # pair-0 sparse points on the host path.
+            if not len(self.sparse_points):
+                self._log("No sparse or dense points — nothing to merge")
+                return None
+            points, colors = merge_pointclouds(
+                [(self.sparse_points.astype(np.float32),
+                  self.sparse_colors.astype(np.float32))],
+                voxel_size=self.voxel_size, remove_outliers=False)
         self._log(f"\nFinal: {len(points)} points, {len(self.camera_poses)} cameras")
 
         out_path = os.path.join(output_dir, "reconstruction.ply")
