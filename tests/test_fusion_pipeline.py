@@ -135,6 +135,35 @@ class TestFusionPipeline:
             assert np.median(d) / scene < 0.01, (
                 f"device vs cv2 cloud diverges: median nn dist {np.median(d):.3f}")
 
+    def test_mixed_resolution_frames(self, scene_dirs, tmp_path):
+        """Folders may mix frame resolutions; the reference's per-frame loop
+        tolerated that (depth_to_reconstruction.py:439-477 resizes depth to
+        each frame). Regression: the sequence-batched path crashed in
+        np.stack on non-uniform shapes — it must pad to the max frame shape
+        and still reconstruct."""
+        rgb_dir, depth_dir = scene_dirs
+        mix_rgb = tmp_path / "rgb"
+        mix_depth = tmp_path / "depth"
+        mix_rgb.mkdir()
+        mix_depth.mkdir()
+        for name in sorted(os.listdir(rgb_dir)):
+            base = os.path.splitext(name)[0]
+            img = cv2.imread(os.path.join(rgb_dir, name))
+            depth = np.load(os.path.join(depth_dir, base + "_depth.npy"))
+            if base.endswith("002"):  # last frame arrives at a larger size
+                img = cv2.resize(img, (W + 64, H + 48),
+                                 interpolation=cv2.INTER_LINEAR)
+            cv2.imwrite(str(mix_rgb / name), img)
+            np.save(mix_depth / f"{base}_depth.npy", depth)
+        cfg = ReconstructionConfig(fx=FX, fy=FY, cx=CX, cy=CY,
+                                   voxel_size=0.05, subsample_factor=4)
+        pipe = DepthToReconstructionPipeline(cfg, feature_capacity=4096,
+                                             verbose=False)
+        assert pipe.load_data(str(mix_rgb), str(mix_depth)) == 3
+        points, colors, poses = pipe.reconstruct()
+        assert points is not None and len(points) > 500
+        assert np.isfinite(points).all()
+
     def test_insufficient_images(self, tmp_path):
         cfg = ReconstructionConfig()
         pipe = DepthToReconstructionPipeline(cfg, verbose=False)

@@ -369,9 +369,14 @@ class DepthToReconstructionPipeline:
         fmask = np.zeros((n2, cap), bool)
         for i, f in enumerate(features):
             desc[i], fuv[i], fmask[i] = f.desc, f.uv, f.mask
-        h, w = self.depths[0].shape[:2]
+        # Pad to the max frame shape — folders may mix resolutions (matched
+        # uv never lands in the pad; padded depth reads 0 and masks out
+        # downstream, mirroring the per-frame reference loop's tolerance).
+        h = max(d.shape[0] for d in self.depths)
+        w = max(d.shape[1] for d in self.depths)
         depths = np.zeros((n2, h, w), np.float32)
-        depths[:n] = np.stack(self.depths)
+        for i, d in enumerate(self.depths):
+            depths[i, :d.shape[0], :d.shape[1]] = d
 
         # Same key sequence the frame-sequential loop drew (one _next_key()
         # per pair) — keeps the committed golden cloud bit-stable.
@@ -382,12 +387,10 @@ class DepthToReconstructionPipeline:
             _pairs_batch(jnp.asarray(desc), jnp.asarray(fmask),
                          jnp.asarray(fuv), K, keys, cfg.match_ratio,
                          cfg.ransac_threshold, cfg.min_depth, cfg.max_depth)
-        # one small fetch: pose + counts for the host chain (X/uv stay on
-        # device for the scale program)
-        R_rel_h = np.asarray(R_rel)
-        t_rel_h = np.asarray(t_rel)
-        n_inl_h = np.asarray(n_inl)
-        n_match_h = np.asarray(n_match)
+        # ONE round-trip fetch of the small host-chain inputs (X/uv stay on
+        # device for the scale program).
+        R_rel_h, t_rel_h, n_inl_h, n_match_h = jax.device_get(
+            (R_rel, t_rel, n_inl, n_match))
 
         # ---- Step 1: initialize with the first pair ------------------------
         self._log("\n--- Step 1: Initialize with first pair ---")
@@ -427,15 +430,16 @@ class DepthToReconstructionPipeline:
         s1_d, s2_d, n_valid0_d, sw_d, okn_d = _scales_batch(
             X, valid, uv1b, uv2b, jnp.asarray(depths),
             jnp.asarray(R_prev), jnp.asarray(t_prev))
-        n_valid0 = int(n_valid0_d)
+        s1c, s2c, n_valid0, sw_h, okn_h = jax.device_get(
+            (clamp_scale(s1_d), clamp_scale(s2_d), n_valid0_d,
+             jax.vmap(clamp_scale)(sw_d), okn_d))
+        n_valid0 = int(n_valid0)
         self._log(f"Valid sparse points: {n_valid0}")
-        sw_h = np.asarray(jax.vmap(clamp_scale)(sw_d))
-        okn_h = np.asarray(okn_d)
 
         # ---- Step 2: depth scale from sparse anchor ------------------------
         self._log("\n--- Step 2: Estimate depth scale ---")
         if n_valid0 >= 3:
-            avg_scale = float((clamp_scale(s1_d) + clamp_scale(s2_d)) / 2.0)
+            avg_scale = float((s1c + s2c) / 2.0)
         else:
             self._log("Warning: Not enough sparse points for scale estimation")
             avg_scale = 1.0
@@ -467,7 +471,8 @@ class DepthToReconstructionPipeline:
 
         # ---- program 3: dense clouds + device merge ------------------------
         bgrs = np.zeros((n2, h, w, 3), np.uint8)
-        bgrs[:n] = np.stack(self.images)
+        for i, im in enumerate(self.images):
+            bgrs[i, :im.shape[0], :im.shape[1]] = im
         dense_merge = _dense_merge_batch_fn(
             float(cfg.fx), float(cfg.fy), float(cfg.cx), float(cfg.cy),
             float(cfg.min_depth), float(cfg.max_depth),
