@@ -45,6 +45,9 @@ def main():
                         help='Camera intrinsics JSON')
     parser.add_argument('--voxel-size', type=float, default=0.01)
     parser.add_argument('--subsample', type=int, default=2)
+    parser.add_argument('--no-fused', action='store_true',
+                        help='Per-op streaming loop instead of the fused '
+                             'one-program-per-frame device step')
     parser.add_argument('--no-icp', action='store_true',
                         help='Disable ICP refinement (feature odometry only)')
     parser.add_argument('--max-frames', type=int, default=None)
@@ -73,6 +76,7 @@ def main():
     rec = StreamingReconstructor(
         intrinsics=source.intrinsics, depth_model=model, config=cfg,
         use_icp=not args.no_icp, metric_depth=args.metric,
+        fused=not args.no_fused,
     )
     n = rec.run(source, max_frames=args.max_frames)
     if n == 0:

@@ -40,7 +40,7 @@ import numpy as np
 from txr.core.config import StreamingConfig
 from txr.core.intrinsics import CameraIntrinsics
 from txr.core.types import PointSet
-from txr.geometry.features import SIFTDetector, match_features
+from txr.geometry.features import Features, SIFTDetector, match_features
 from txr.geometry.icp import estimate_normals, icp_point_to_plane
 from txr.geometry.scale import clamp_scale, estimate_scale, ema_scale
 from txr.fusion.sorted_map import (
@@ -73,6 +73,7 @@ class StreamingReconstructor:
         feature_capacity: int = 4096,
         icp_sample: int = 4096,
         verbose: bool = True,
+        fused: bool = True,
     ):
         self.intr = intrinsics
         self.cfg = config or StreamingConfig()
@@ -97,6 +98,13 @@ class StreamingReconstructor:
         # cloud so the map can be re-fused after graph optimization.
         self.keyframes: List[dict] = []
         self.loops_closed = 0
+        # Fused mode: the whole per-frame chain as ONE device program over
+        # device-resident state (txr/pipelines/stream_step.py). run() uses it
+        # whenever a depth model is present; process_frame stays stepwise for
+        # the per-frame API (ROS2 nodes feed that).
+        self.fused = fused
+        self._fused_steps: dict = {}   # (h, w) -> jitted step
+        self._fused_state = None
 
     def _log(self, msg):
         if self.verbose:
@@ -341,7 +349,136 @@ class StreamingReconstructor:
         self._maybe_keyframe(feats, depth, bgr)
         return True
 
+    # ------------------------------------------------------- fused hot loop
+
+    def _fused_step_for(self, h: int, w: int):
+        key = (h, w)
+        if key not in self._fused_steps:
+            from txr.pipelines.stream_step import build_fused_stream_step
+
+            self._fused_steps[key] = build_fused_stream_step(
+                self.depth_model, self.intr, self.cfg, h=h, w=w,
+                feature_capacity=self.detector.capacity,
+                contrast_threshold=self.detector.contrast_threshold,
+                edge_threshold=float(self.detector.edge_threshold),
+                use_clahe=self.detector.use_clahe,
+                use_icp=self.use_icp, metric_depth=self.metric_depth,
+                icp_sample=self.icp_sample)
+        return self._fused_steps[key]
+
+    def _maybe_keyframe_fused(self, diag, bgr) -> bool:
+        """Keyframe/loop-closure bookkeeping for one fused frame. The big
+        diag fields (features, depth) transfer only here. Returns True if a
+        loop closed (device state must be resynced)."""
+        if not self.cfg.loop_closure:
+            return False
+        if (self.frames_processed - 1) % self.cfg.keyframe_every != 0:
+            return False
+        feats = Features(np.asarray(diag.uv), np.asarray(diag.desc),
+                         np.asarray(diag.fmask), "sift")
+        depth = np.asarray(diag.depth, np.float32)
+        loop = self._try_loop_edge(feats, depth)
+        self.keyframes.append({
+            "pose_idx": len(self.poses) - 1,
+            "features": feats,
+            "cloud": self._camera_cloud(depth, bgr),
+        })
+        if loop is not None:
+            self._close_loop(loop[0], loop[1], loop[2])
+            return True
+        return False
+
+    def _run_fused(self, source, max_frames: Optional[int] = None) -> int:
+        """One device program + one (chunk-amortized) host sync per frame.
+
+        Diagnostics are fetched in chunks aligned so every keyframe frame is
+        chunk-final: its feature/depth buffers are read before the next step
+        runs, and loop corrections resync device state at the same cadence
+        the stepwise path applies them (no skipped frames while use_icp).
+        """
+        from txr.pipelines.stream_step import init_fused_state
+
+        start = time.time()
+        if self._fused_state is None:
+            self._fused_state = init_fused_state(
+                self.map.kx.shape[0], float(self.map.voxel_size),
+                self.detector.capacity)
+        state = self._fused_state
+        # Chunked drains: keyframes land at frames_processed ∈ {1, 1+k, ...};
+        # with skips possible (no ICP rescue) the count desyncs from the step
+        # index, so drain per-frame to keep keyframe alignment exact.
+        if self.cfg.loop_closure:
+            chunk = self.cfg.keyframe_every if self.use_icp else 1
+        else:
+            chunk = 8
+        pend: List[tuple] = []  # (diag, bgr)
+
+        def drain():
+            nonlocal state
+            if not pend:
+                return
+            small = jax.device_get([
+                (d.R, d.t, d.scale, d.n_inliers, d.fused, d.map_size)
+                for d, _ in pend])
+            resync = False
+            for (d, bgr), (R, t, sc, n_inl, fu, msz) in zip(pend, small):
+                if not bool(fu):
+                    self.frames_skipped += 1
+                    self._log(f"  frame: {int(n_inl)} inliers < {MIN_INLIERS}"
+                              " — feature odometry failed")
+                    continue
+                self.poses.append((np.asarray(R, np.float32),
+                                   np.asarray(t, np.float32)))
+                self.scale = float(sc)
+                self.frames_processed += 1
+                self.map = state.vm  # _rebuild_map needs current capacity
+                resync |= self._maybe_keyframe_fused(d, bgr)
+                if self.frames_processed % 10 == 0:
+                    fps = self.frames_processed / (time.time() - start)
+                    self._log(f"Fused {self.frames_processed} frames "
+                              f"({fps:.1f} fps), map: {int(msz)} voxels")
+            if resync:
+                # Loop closure rebuilt self.map and corrected self.poses on
+                # the host — push both back into the device state.
+                R_l, t_l = self.poses[-1]
+                state = state._replace(vm=self.map, R=jnp.asarray(R_l),
+                                       t=jnp.asarray(t_l))
+            pend.clear()
+
+        n_seen = 0
+        try:
+            for i, (bgr, ts, ident) in enumerate(source):
+                if max_frames is not None and i >= max_frames:
+                    break
+                n_seen += 1
+                h, w = bgr.shape[:2]
+                step = self._fused_step_for(h, w)
+                state, diag = step(self.depth_model.params, state,
+                                   jnp.asarray(bgr))
+                pend.append((diag, bgr))
+                # Align drains so keyframe frames are chunk-final: first
+                # drain after frame 1 (frames_processed == 1), then every
+                # `chunk` frames.
+                if (len(self.poses) + len(pend)) % chunk == 1 or chunk == 1:
+                    drain()
+        except KeyboardInterrupt:
+            self._log("Interrupted — finalizing map")
+        drain()
+        self._fused_state = state
+        self.map = state.vm
+        elapsed = max(time.time() - start, 1e-9)
+        self._log(f"Stream done: {self.frames_processed} fused, "
+                  f"{self.frames_skipped} skipped, "
+                  f"{self.frames_processed / elapsed:.1f} fps")
+        return self.frames_processed
+
     def run(self, source, max_frames: Optional[int] = None) -> int:
+        # Fused mode needs the Flax internals (module + params); duck-typed
+        # depth models (tests, external estimators) take the stepwise path.
+        if (self.fused and self.depth_model is not None
+                and hasattr(self.depth_model, "model")
+                and hasattr(self.depth_model, "params")):
+            return self._run_fused(source, max_frames)
         start = time.time()
         try:
             for i, (bgr, ts, ident) in enumerate(source):
