@@ -45,6 +45,9 @@ def main():
                                        ".jax_cache"))
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+    from txr.utils.tpu_wait import wait_for_backend
+    wait_for_backend(log=log)  # ride out transient relay outages (≤15 min)
+
     import jax
     import jax.numpy as jnp
 
