@@ -144,7 +144,10 @@ def main():
         tdir = "/root/reference/input_folder/exp_tunnel_set1_images_2_fps"
         files = sorted(os.path.join(tdir, f) for f in os.listdir(tdir)
                        if f.endswith(".jpg"))
-        imgs = [cv2.resize(cv2.imread(f), (W, H)) for f in files[:2 * batch]]
+        # cycle the sequence: the folder holds 170 jpgs, and a short second
+        # batch would recompile the step and inflate the frames/sec count
+        imgs = [cv2.resize(cv2.imread(files[i % len(files)]), (W, H))
+                for i in range(2 * batch)]
         stack = np.stack(imgs).astype(np.uint8)
         dev_frames = [jax.device_put(stack[i * batch:(i + 1) * batch])
                       for i in range(2)]

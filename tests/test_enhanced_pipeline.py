@@ -186,6 +186,49 @@ class TestEnhancedEndToEnd:
         assert (tmp_path / "out" / "reconstruction.ply").exists()
 
 
+class TestMissingEarlyDepths:
+    def test_later_views_only_depth(self, tmp_path, rng):
+        """Regression: when only views >= 2 carry depth, the scale-EMA loop
+        reads the batched per-view scales — the batch must run even though
+        view 0 has no depth (previously NameError: okn_h)."""
+        from txr.pipelines.enhanced_pipeline import DepthEnhancedReconstruction
+
+        class FakeDepthModel:
+            def infer(self, img, intr=None):
+                return np.full(img.shape[:2], 2.0, np.float32)
+
+            def infer_batch(self, imgs, intr=None):
+                return np.full(imgs.shape[:3], 2.0, np.float32)
+
+        folder = tmp_path / "imgs"
+        folder.mkdir()
+        base = np.full((120, 160, 3), 90, np.uint8)
+        for _ in range(35):
+            c = rng.integers(0, 255, 3).tolist()
+            p = (int(rng.integers(10, 150)), int(rng.integers(10, 110)))
+            cv2.rectangle(base, p, (p[0] + 8, p[1] + 6), c, -1)
+        for i, dx in enumerate([0, 7, 14, 21]):
+            M = np.float32([[1, 0, dx], [0, 1, 0]])
+            cv2.imwrite(str(folder / f"im_{i}.png"),
+                        cv2.warpAffine(base, M, (160, 120)))
+        K = np.array([[130.0, 0, 80], [0, 130.0, 60], [0, 0, 1]])
+        rec = DepthEnhancedReconstruction(
+            K, use_depth=True, use_hybrid_features=True,
+            depth_model=FakeDepthModel(), verbose=False,
+            subsample=4, voxel_size=0.05)
+        rec.load_images(str(folder))
+        rec.estimate_all_depths()
+        rec.depths[0] = None
+        rec.depths[1] = None
+        # reconstruct() re-estimates depths; freeze the primed layout so the
+        # missing-first-depth folder shape actually reaches the scale chain
+        rec.estimate_all_depths = lambda: None
+        result = rec.reconstruct(output_dir=str(tmp_path / "out"))
+        assert result is not None
+        points, colors, poses = result
+        assert len(points) > 0
+
+
 class TestDenseCorrespondences:
     def test_translation_disparity(self):
         from txr.geometry.hybrid import generate_dense_correspondences

@@ -47,6 +47,36 @@ class TestGridKNN:
         assert (d[50:] > 1e30).all()
         assert (d[:50] < 1e30).all()
 
+    def test_plus_z_grid_border_no_column_wrap(self):
+        """Regression: at the grid's +z border (cells clip to GRID-1) the
+        3-key z-span must stay inside its (x, y) column. Unclamped it
+        wrapped into the NEXT column's z=0 cell, whose points flooded the
+        candidate window and evicted all genuine neighbors."""
+        cell = 0.01
+        rng = np.random.default_rng(7)
+        # anchor pins min_bound at the origin
+        anchor = np.zeros((1, 3), np.float32)
+        # dense query cluster in cell (0, 0, 511) via the z clip
+        a = np.tile(np.array([[0.005, 0.005, 5.2]], np.float32), (8, 1))
+        a += rng.uniform(0, 1e-3, a.shape).astype(np.float32)
+        # foreign clump at (x=0, y+1, z=0) — the wrap target of the span
+        # starting at (0, 0, 510); big enough to overflow W = 3*per_cell
+        b = np.tile(np.array([[0.005, 0.015, 0.005]], np.float32), (200, 1))
+        b += rng.uniform(0, 2e-3, b.shape).astype(np.float32)
+        xyz = np.concatenate([anchor, a, b])
+        mask = np.ones(len(xyz), bool)
+        got = np.asarray(grid_knn_mean_distance(
+            jnp.asarray(xyz), jnp.asarray(mask), cell=cell, k=4,
+            per_cell=4, chunk=128))
+        # f64 numpy oracle: the XLA brute-force op's ||a||^2+||b||^2-2ab
+        # form loses the ~1e-3 intra-cluster distances to f32 cancellation
+        # at the cluster's 5.2 z offset.
+        d = np.linalg.norm(xyz.astype(np.float64)[None, :, :]
+                           - xyz.astype(np.float64)[:, None, :], axis=-1)
+        np.fill_diagonal(d, np.inf)
+        exp = np.sort(d, axis=1)[:, :4].mean(axis=1)
+        np.testing.assert_allclose(got[1:9], exp[1:9], rtol=1e-3, atol=1e-6)
+
     def test_self_excluded(self):
         # Two coincident points: each sees the other at distance 0, not itself.
         xyz = np.array([[0.5, 0.5, 0.5], [0.5, 0.5, 0.5], [0.6, 0.5, 0.5]],

@@ -28,6 +28,21 @@ class TestSE3:
         w = np.array([0.0, 0.0, np.pi - 1e-4])
         np.testing.assert_allclose(so3_log(so3_exp(w)), w, atol=1e-5)
 
+    def test_so3_near_pi_mixed_sign_axis(self):
+        """Regression: axes with a ~zero x component need the y/z RELATIVE
+        sign, which lives in A[1,2] — the old per-component sqrt + A[0,*]
+        sign fix returned the log of a different rotation."""
+        for axis in ([0.0, 1.0, -1.0], [0.0, -1.0, 1.0], [1e-9, 1.0, 1.0],
+                     [0.3, -0.7, 0.648], [-1.0, 0.0, 1.0], [0.0, 0.0, -1.0]):
+            a = np.asarray(axis) / np.linalg.norm(axis)
+            for th in (np.pi - 1e-7, np.pi - 5e-7, np.pi):
+                w = a * th
+                R = so3_exp(w)
+                w2 = so3_log(R)
+                # log is two-valued at exactly pi: compare rotations
+                np.testing.assert_allclose(so3_exp(w2), R, atol=1e-6,
+                                           err_msg=f"axis {axis} th {th}")
+
 
 class TestPoseGraph:
     def _circle_problem(self, rng, n=20, noise=0.02):
@@ -154,6 +169,60 @@ class TestStreamingLoopClosure:
         drift_on = float(np.linalg.norm(end_center(on)))
         assert drift_off > 1e-5, "no drift accumulated; test is vacuous"
         assert drift_on < drift_off, (drift_on, drift_off)
+
+    def test_segment_moves_rigidly_with_keyframe(self, rng, monkeypatch):
+        """Regression: loop-closure propagation must preserve each frame's
+        pose RELATIVE to its keyframe (T_p T_a^-1 invariant). The old
+        left-composition rotated orientations in place without moving
+        camera centers with the keyframe."""
+        from txr.core.config import StreamingConfig
+        from txr.core.intrinsics import CameraIntrinsics
+        from txr.core.types import PointSet
+        from txr.pipelines import streaming as streaming_mod
+
+        intr = CameraIntrinsics(fx=100.0, fy=100.0, cx=50.0, cy=50.0,
+                                width=100, height=100)
+        cfg = StreamingConfig(voxel_size=0.05, max_map_points=1 << 12,
+                              loop_closure=True)
+        rec = streaming_mod.StreamingReconstructor(
+            intr, depth_model=FakeDepthModel(), config=cfg,
+            use_icp=False, verbose=False)
+
+        old_poses = []
+        for _ in range(6):
+            R = so3_exp(rng.normal(size=3) * 0.4).astype(np.float32)
+            t = rng.normal(size=3).astype(np.float32)
+            old_poses.append((R, t))
+        rec.poses = [(R.copy(), t.copy()) for R, t in old_poses]
+        cloud = PointSet(rng.normal(size=(8, 3)).astype(np.float32),
+                         np.zeros((8, 3), np.float32), np.ones(8, bool))
+        kf_idx = (0, 2, 4)
+        rec.keyframes = [{"pose_idx": i, "features": None, "cloud": cloud}
+                         for i in kf_idx]
+
+        new_nodes = [(so3_exp(rng.normal(size=3) * 0.5), rng.normal(size=3))
+                     for _ in kf_idx]
+        monkeypatch.setattr(streaming_mod, "optimize_pose_graph",
+                            lambda nodes, edges, fixed=0: new_nodes)
+        rec._close_loop(0, np.eye(3), np.zeros(3))
+
+        def T(pose):
+            M = np.eye(4)
+            M[:3, :3], M[:3, 3] = pose[0], np.asarray(pose[1]).reshape(3)
+            return M
+
+        for (a, ki) in enumerate(kf_idx):
+            # the keyframe itself lands exactly on the optimizer output
+            np.testing.assert_allclose(rec.poses[ki][0], new_nodes[a][0],
+                                       atol=1e-5)
+            np.testing.assert_allclose(rec.poses[ki][1], new_nodes[a][1],
+                                       atol=1e-5)
+            hi = kf_idx[a + 1] if a + 1 < len(kf_idx) else len(rec.poses)
+            for p in range(ki, hi):
+                rel_old = T(old_poses[p]) @ np.linalg.inv(T(old_poses[ki]))
+                rel_new = T(rec.poses[p]) @ np.linalg.inv(T(rec.poses[ki]))
+                np.testing.assert_allclose(rel_new, rel_old, atol=1e-4,
+                                           err_msg=f"segment {a} frame {p}")
 
     def test_map_survives_rebuild(self, rng):
         from txr.fusion.sorted_map import sorted_map_size

@@ -183,3 +183,24 @@ class TestOffsetMap:
         assert int(offset_map_size(p)) == 16
         hi = np.asarray(p.khi)
         assert np.all(np.diff(hi.astype(np.int64)) >= 0)
+
+
+class TestFarCornerSentinel:
+    def test_far_corner_voxel_not_dropped(self):
+        """Regression: a point clamped to the +range corner in all axes
+        used to pack khi (and klo|x) to exactly INT_MAX — the empty
+        sentinel — and the occupancy test silently dropped the voxel."""
+        voxel = 0.01
+        # far beyond +_HALF_RANGE voxels in every axis -> clipped corner
+        far = np.float32(1 << 18) * voxel
+        xyz = np.array([[far, far, far], [0.0, 0.0, 0.0]], np.float32)
+        rgb = np.full((2, 3), 0.5, np.float32)
+        vm = create_offset_map(64, voxel)
+        vm = offset_map_insert(vm, PointSet(jnp.asarray(xyz),
+                                            jnp.asarray(rgb),
+                                            jnp.ones(2, bool)))
+        assert int(offset_map_size(vm)) == 2
+        # the packed columns must stay strictly below the sentinel
+        occ = _weights(vm) > 0
+        assert (np.asarray(vm.khi)[occ] < np.iinfo(np.int32).max).all()
+        assert (np.asarray(vm.klo_x)[occ] < np.iinfo(np.int32).max).all()

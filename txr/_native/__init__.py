@@ -77,37 +77,16 @@ def get_lib():
         return _lib
 
 
-class _BufferPool:
-    """Reusable decode staging buffers keyed by shape — the hot replay loop
-    decodes into stable addresses instead of fresh allocations (the host
-    analog of pinned staging; SURVEY §2.8 item 15)."""
-
-    def __init__(self, depth: int = 4):
-        self._pool: dict = {}
-        self._depth = depth
-        self._lock = threading.Lock()
-
-    def get(self, shape) -> np.ndarray:
-        with self._lock:
-            bufs = self._pool.setdefault(shape, [])
-            if bufs:
-                return bufs.pop()
-        return np.empty(shape, np.uint8)
-
-    def put(self, buf: np.ndarray):
-        with self._lock:
-            bufs = self._pool.setdefault(buf.shape, [])
-            if len(bufs) < self._depth:
-                bufs.append(buf)
-
-
-_decode_pool = _BufferPool()
-
-
 def native_decode_jpeg(data: bytes) -> np.ndarray | None:
     """Decode a JPEG byte string to a BGR uint8 array via the C++ stage.
     Returns None when the native decoder is unavailable or the stream is
-    not a decodable baseline JPEG (caller falls back to cv2)."""
+    not a decodable baseline JPEG (caller falls back to cv2).
+
+    The decoded array is freshly allocated per call: the consumer (the
+    prefetch/pipeline chain) holds frames for an unbounded time, so a
+    staging-buffer pool could only be safe with whole-frame lifecycle
+    tracking — an earlier pool here was never handed buffers back and was
+    a latent aliasing hazard for zero benefit [code-review r2]."""
     lib = get_lib()
     if lib is None or not lib.txr_has_jpeg():
         return None
@@ -119,18 +98,13 @@ def native_decode_jpeg(data: bytes) -> np.ndarray | None:
                          ctypes.byref(w), ctypes.byref(h),
                          ctypes.byref(c)) != 0:
         return None
-    out = _decode_pool.get((h.value, w.value, 3))
+    out = np.empty((h.value, w.value, 3), np.uint8)
     rc = lib.txr_decode_jpeg(buf.ctypes.data_as(ctypes.c_void_p), buf.size,
                              out.ctypes.data_as(ctypes.c_void_p),
                              w.value, h.value)
     if rc != 0:
         return None
     return out
-
-
-def decode_pool_release(buf: np.ndarray):
-    """Hand a decode buffer back for reuse (optional; safe to skip)."""
-    _decode_pool.put(buf)
 
 
 def native_write_ply(path: str, xyz: np.ndarray, rgb: np.ndarray | None) -> bool:

@@ -63,9 +63,11 @@ def _dq(u, bits):
 def _pack_klo_x(lo, xoff_u10, valid):
     """22-bit klo (int32) + u10 x offset -> sign-xored int32 sort column.
 
-    Valid rows can never collide with the INT_MAX empty sentinel: klo's
-    z18 field is clipped below all-ones (packed_map.pack_keys), so the
-    xored column stays < INT_MAX.
+    Valid rows can never collide with the INT_MAX empty sentinel:
+    pack_keys clips every coordinate to _HALF_RANGE - 2, so the z18 field
+    is strictly below all-ones and the xored column stays < INT_MAX even
+    with x offset 1023 (regression: tests/test_offset_map.py
+    test_far_corner_voxel_not_dropped).
     """
     lo_u = lo.astype(jnp.uint32)
     u = (lo_u << 10) | xoff_u10

@@ -41,10 +41,17 @@ _SIGN = -2147483648  # 0x80000000 as int32 (Python int: see offset_map)
 
 def pack_keys(kx, ky, kz, valid):
     """(kx, ky, kz) int32 -> (hi, lo) int32, order-preserving; invalid rows
-    get (INT_MAX, INT_MAX)."""
-    ox = jnp.clip(kx, -_HALF_RANGE + 1, _HALF_RANGE - 1) + _HALF_RANGE
-    oy = jnp.clip(ky, -_HALF_RANGE + 1, _HALF_RANGE - 1) + _HALF_RANGE
-    oz = jnp.clip(kz, -_HALF_RANGE + 1, _HALF_RANGE - 1) + _HALF_RANGE
+    get (INT_MAX, INT_MAX).
+
+    The upper clip is _HALF_RANGE - 2 (one voxel tighter than the lower
+    side) so no packed field is ever all-ones on a valid row: at - 1 a far
+    +corner voxel packed khi (and offset_map's klo|x column) to exactly
+    INT_MAX, the empty sentinel, and the occupancy test silently dropped
+    it [code-review r2]. Boundary points merge one voxel inward — the same
+    edge-of-range clamp semantics as before."""
+    ox = jnp.clip(kx, -_HALF_RANGE + 1, _HALF_RANGE - 2) + _HALF_RANGE
+    oy = jnp.clip(ky, -_HALF_RANGE + 1, _HALF_RANGE - 2) + _HALF_RANGE
+    oz = jnp.clip(kz, -_HALF_RANGE + 1, _HALF_RANGE - 2) + _HALF_RANGE
     ox = ox.astype(jnp.uint32)
     oy = oy.astype(jnp.uint32)
     oz = oz.astype(jnp.uint32)

@@ -44,14 +44,21 @@ def so3_log(R: np.ndarray) -> np.ndarray:
         return np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
                          R[1, 0] - R[0, 1]]) / 2.0
     if np.pi - th < 1e-6:  # near pi: use the symmetric part
+        # At theta=pi, (R+I)/2 = aa^T exactly; any column with a nonzero
+        # diagonal is the axis scaled by that component, so the largest-
+        # diagonal column carries ALL relative signs (per-component sqrt
+        # with pairwise off-diagonal sign fixes gets y/z relative sign
+        # wrong whenever a_x ~ 0 — the A[1,2] entry it never consults).
         A = (R + np.eye(3)) / 2.0
-        axis = np.sqrt(np.maximum(np.diag(A), 0.0))
+        j = int(np.argmax(np.diag(A)))
+        axis = A[:, j].copy()
         axis = axis / max(np.linalg.norm(axis), 1e-12)
-        # fix signs from off-diagonals
-        if A[0, 1] < 0:
-            axis[1] = -axis[1]
-        if A[0, 2] < 0:
-            axis[2] = -axis[2]
+        # overall sign from the skew part (sin(th)·a); at exactly pi both
+        # signs are the same rotation, so the tie is harmless
+        v = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                      R[1, 0] - R[0, 1]])
+        if float(v @ axis) < 0:
+            axis = -axis
         return axis * th
     return th / (2 * np.sin(th)) * np.array(
         [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])

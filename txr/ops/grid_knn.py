@@ -190,7 +190,13 @@ def grid_knn_mean_distance(
             yy = zy + dy
             inb = ((xx >= 0) & (xx < _GRID) & (yy >= 0) & (yy < _GRID)
                    & (qk < _NKEYS))
-            z0 = jnp.maximum(zz - 1, 0)
+            # Clamp the 3-key span fully inside the column: at zz = GRID-1
+            # an unclamped [zz-1, zz+2) wraps into the NEXT (x, y+1)
+            # column's z=0 cell, and those spatially distant points consume
+            # candidate-window slots (evicting genuine neighbors when the
+            # range exceeds W). z0 = GRID-3 trades that for one extra
+            # in-column cell below — same class as the z=0 border.
+            z0 = jnp.clip(zz - 1, 0, _GRID - 3)
             k0 = (xx << (2 * _BITS)) | (yy << _BITS) | z0
             k0 = jnp.clip(k0, 0, _NKEYS - 1)
             rng = T2[k0]                                     # (C, 2)

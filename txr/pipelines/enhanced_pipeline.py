@@ -269,6 +269,10 @@ class DepthEnhancedReconstruction:
         n_raw = np.zeros(p2, np.int64)
         keys_f = []
         keys_p = []
+        # Local, not a module constant: device arrays at module scope init
+        # the backend at import and risk the captured-const fastpath bug
+        # (CLAUDE.md).
+        _DUMMY_KEY = jax.random.PRNGKey(0)
         self._log("\nMatching initial pair...")
         for p in range(n_pairs):
             if p >= 1:
@@ -279,12 +283,20 @@ class DepthEnhancedReconstruction:
             A[p, :c] = pts1[:c]
             B[p, :c] = pts2[:c]
             M[p, :c] = True
-            # Same key stream the frame-sequential loop drew (F then pose).
-            keys_f.append(self._next_key())
-            keys_p.append(self._next_key())
+            # Same key stream the frame-sequential loop drew (F then pose),
+            # including its skip rule: pairs with <8 raw matches never
+            # reached RANSAC and drew NO keys. Those pairs (and the pad
+            # rows) get a fixed dummy key — their batch results are
+            # discarded by the same <8 check in the host chain below.
+            if n_raw[p] >= 8:
+                keys_f.append(self._next_key())
+                keys_p.append(self._next_key())
+            else:
+                keys_f.append(_DUMMY_KEY)
+                keys_p.append(_DUMMY_KEY)
         for p in range(n_pairs, p2):
-            keys_f.append(self._next_key())
-            keys_p.append(self._next_key())
+            keys_f.append(_DUMMY_KEY)
+            keys_p.append(_DUMMY_KEY)
 
         # ---- program 1: RANSAC-F + pose/structure for all pairs ----------
         R_rel, t_rel, X, valid, n_inl, n_f = _enh_pairs_batch(
@@ -336,7 +348,13 @@ class DepthEnhancedReconstruction:
         # ---- program 2: world-frame sparse + per-view scales --------------
         scale = 1.0
         need_scales = self.use_depth and self.depths[0] is not None
-        if need_scales or self.use_ba:
+        # The EMA chain below reads sw_h/okn_h for ANY later view with depth,
+        # so the batch must also run when only views >= 2 have depth files
+        # (e.g. a folder missing the first depth map — the sequential loop
+        # this replaced handled that layout).
+        later_depth = self.use_depth and any(
+            self.depths[i] is not None for i in range(2, n))
+        if need_scales or later_depth or self.use_ba:
             # Pad to the max frame shape: matched uv never lands in the pad,
             # and padded depth rows read 0 (< min_depth) downstream.
             h = max(im.shape[0] for im in self.images)
@@ -457,15 +475,36 @@ class DepthEnhancedReconstruction:
             sp_xyz_p[:ns] = self.sparse_points[:ns]
             sp_rgb_p[:ns] = self.sparse_colors[:ns] / 255.0
             sp_m[:ns] = True
-            dense_merge = _enh_dense_merge_fn(
-                float(fx), float(fy), float(cx), float(cy),
-                int(self.subsample), float(self.voxel_size))
-            merged, counts_d = dense_merge(
-                jnp.asarray(depths_v), jnp.asarray(bgrs_v), jnp.asarray(Rs),
-                jnp.asarray(ts), jnp.asarray(sc), jnp.asarray(keep),
-                jnp.asarray(sp_xyz_p), jnp.asarray(sp_rgb_p),
-                jnp.asarray(sp_m))
-            counts = np.asarray(counts_d)
+            ss = int(self.subsample)
+            rows_per_view = -(-h // ss) * -(-w // ss)
+            single_rows = int(os.environ.get("TXR_DENSE_SINGLE_ROWS",
+                                             str(1 << 24)))
+            if nv * rows_per_view <= single_rows:
+                dense_merge = _enh_dense_merge_fn(
+                    float(fx), float(fy), float(cx), float(cy),
+                    ss, float(self.voxel_size))
+                merged, counts_d = dense_merge(
+                    jnp.asarray(depths_v), jnp.asarray(bgrs_v),
+                    jnp.asarray(Rs), jnp.asarray(ts), jnp.asarray(sc),
+                    jnp.asarray(keep), jnp.asarray(sp_xyz_p),
+                    jnp.asarray(sp_rgb_p), jnp.asarray(sp_m))
+                counts = np.asarray(counts_d)
+            else:
+                # Long sequences: bound device memory with the chunked
+                # exact merge (txr/fusion/chunked_merge.py); the sparse
+                # points join the final reduce as weight-1 rows, matching
+                # the concatenate-then-downsample single-program semantics.
+                from txr.fusion.chunked_merge import chunked_dense_voxel_merge
+
+                chunk_views = max(1, _pad_pow2(max(1, single_rows // 2
+                                                   // rows_per_view)) // 2)
+                merged, counts = chunked_dense_voxel_merge(
+                    depths_v, bgrs_v, Rs, ts, sc, keep,
+                    fx=fx, fy=fy, cx=cx, cy=cy,
+                    min_depth=0.1, max_depth=100.0,
+                    subsample=ss, voxel_size=float(self.voxel_size),
+                    chunk_views=min(chunk_views, nv),
+                    extra=PointSet(sp_xyz_p, sp_rgb_p, sp_m))
             for i in sorted(pose_of_image):
                 if keep[i]:
                     self._log(f"Camera {i}: {int(counts[i])} dense points")

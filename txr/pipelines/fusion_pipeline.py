@@ -378,8 +378,13 @@ class DepthToReconstructionPipeline:
         for i, d in enumerate(self.depths):
             depths[i, :d.shape[0], :d.shape[1]] = d
 
-        # Same key sequence the frame-sequential loop drew (one _next_key()
-        # per pair) — keeps the committed golden cloud bit-stable.
+        # One key per pair, in pair order. On sequences where every pair
+        # reaches RANSAC this is the exact key stream the frame-sequential
+        # loop drew (keeps the committed golden cloud bit-stable). On
+        # degraded inputs the sequential loop skipped the draw for <8-match
+        # pairs, so the streams diverge after the first skip — both are
+        # valid RANSAC draws; exact replication would need match counts on
+        # host BEFORE program 1, an extra round trip per sequence.
         keys = jnp.stack([self._next_key() for _ in range(p2)])
 
         # ---- program 1: all pair matches + pose/structure ------------------
@@ -473,15 +478,39 @@ class DepthToReconstructionPipeline:
         bgrs = np.zeros((n2, h, w, 3), np.uint8)
         for i, im in enumerate(self.images):
             bgrs[i, :im.shape[0], :im.shape[1]] = im
-        dense_merge = _dense_merge_batch_fn(
-            float(cfg.fx), float(cfg.fy), float(cfg.cx), float(cfg.cy),
-            float(cfg.min_depth), float(cfg.max_depth),
-            float(cfg.voxel_size), float(cfg.outlier_std_ratio),
-            int(cfg.subsample_factor), int(cfg.outlier_neighbors))
-        merged, counts_d = dense_merge(
-            jnp.asarray(depths), jnp.asarray(bgrs), jnp.asarray(view_R),
-            jnp.asarray(view_t), jnp.asarray(view_scale), jnp.asarray(keep))
-        counts = np.asarray(counts_d)
+        ss = int(cfg.subsample_factor)
+        rows_per_view = -(-h // ss) * -(-w // ss)
+        single_rows = int(os.environ.get("TXR_DENSE_SINGLE_ROWS",
+                                         str(1 << 24)))
+        if n2 * rows_per_view <= single_rows:
+            dense_merge = _dense_merge_batch_fn(
+                float(cfg.fx), float(cfg.fy), float(cfg.cx), float(cfg.cy),
+                float(cfg.min_depth), float(cfg.max_depth),
+                float(cfg.voxel_size), float(cfg.outlier_std_ratio),
+                ss, int(cfg.outlier_neighbors))
+            merged, counts_d = dense_merge(
+                jnp.asarray(depths), jnp.asarray(bgrs), jnp.asarray(view_R),
+                jnp.asarray(view_t), jnp.asarray(view_scale),
+                jnp.asarray(keep))
+            counts = np.asarray(counts_d)
+        else:
+            # Long sequences: one program over every view would stage
+            # O(views) device memory and a sort far past the measured
+            # envelope; chunk the views with an exact weighted merge
+            # (txr/fusion/chunked_merge.py), then the same outlier pass.
+            from txr.fusion.chunked_merge import chunked_dense_voxel_merge
+
+            chunk_views = max(1, _pad_pow2(max(1, single_rows // 2
+                                               // rows_per_view)) // 2)
+            merged, counts = chunked_dense_voxel_merge(
+                depths, bgrs, view_R, view_t, view_scale, keep,
+                fx=cfg.fx, fy=cfg.fy, cx=cfg.cx, cy=cfg.cy,
+                min_depth=cfg.min_depth, max_depth=cfg.max_depth,
+                subsample=ss, voxel_size=float(cfg.voxel_size),
+                chunk_views=min(chunk_views, n2))
+            merged = remove_statistical_outliers_grid(
+                merged, None, nb_neighbors=int(cfg.outlier_neighbors),
+                std_ratio=float(cfg.outlier_std_ratio))
         points, colors = merged.to_numpy()
         colors = colors * 255.0
 

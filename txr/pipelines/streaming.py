@@ -241,15 +241,20 @@ class StreamingReconstructor:
         for a, kf in enumerate(kfs):
             Ro, to = nodes[a]
             Rn, tn = opt[a]
-            # X_c = R X_w + t; correction C with T_new = C @ T_old.
-            Rc = Rn @ Ro.T
-            tc = tn - Rc @ to
+            # Poses are world-to-camera (X_c = R X_w + t). A rigid segment
+            # update preserves each frame's pose RELATIVE to its keyframe:
+            # T_p_new = T_p_old ∘ T_a_old^-1 ∘ T_a_new — a world-coordinate
+            # change D = T_a_old^-1 T_a_new composed on the right. (Left-
+            # composition T_new = C ∘ T_old only rotates orientations in
+            # place; camera centers would not move with the keyframe.)
+            Rd = Ro.T @ Rn
+            td = Ro.T @ (tn - to)
             lo = kf["pose_idx"]
             hi = kfs[a + 1]["pose_idx"] if a + 1 < len(kfs) else len(self.poses)
             for p in range(lo, hi):
                 Rp, tp = self.poses[p]
-                self.poses[p] = ((Rc @ Rp).astype(np.float32),
-                                 (Rc @ tp + tc).astype(np.float32))
+                self.poses[p] = ((Rp @ Rd).astype(np.float32),
+                                 (Rp @ td + tp).astype(np.float32))
         self._rebuild_map()
         self.loops_closed += 1
 
