@@ -213,3 +213,90 @@ class TestPipelineChunkedPath:
         assert result is not None
         points, colors, poses = result
         assert len(points) > 100
+
+
+class TestSequenceChunking:
+    """TXR_SEQ_CHUNK slices the pairs/scales programs for long sequences;
+    per-pair math is independent, so results must be IDENTICAL."""
+
+    def _scene_dirs(self, tmp_path, rng, n_frames=5):
+        import cv2
+
+        h, w = 96, 128
+        rgb_dir = tmp_path / "rgb"
+        dep_dir = tmp_path / "depth"
+        rgb_dir.mkdir()
+        dep_dir.mkdir()
+        base = np.full((h, w, 3), 70, np.uint8)
+        for _ in range(40):
+            c = rng.integers(0, 255, 3).tolist()
+            p = (int(rng.integers(5, w - 12)), int(rng.integers(5, h - 10)))
+            cv2.rectangle(base, p, (p[0] + 6, p[1] + 5), c, -1)
+        for i in range(n_frames):
+            M = np.float32([[1, 0, 4 * i], [0, 1, 0]])
+            cv2.imwrite(str(rgb_dir / f"f_{i:02d}.png"),
+                        cv2.warpAffine(base, M, (w, h)))
+            np.save(str(dep_dir / f"f_{i:02d}_depth.npy"),
+                    (2.0 + 0.1 * rng.uniform(size=(h, w))
+                     ).astype(np.float32))
+        return str(rgb_dir), str(dep_dir), (h, w)
+
+    def test_fusion_pipeline_seq_chunked_identical(self, tmp_path, rng,
+                                                   monkeypatch):
+        from txr.core.config import ReconstructionConfig
+        from txr.pipelines.fusion_pipeline import DepthToReconstructionPipeline
+
+        rgb_dir, dep_dir, (h, w) = self._scene_dirs(tmp_path, rng)
+        cfg = ReconstructionConfig(fx=110.0, fy=110.0, cx=w / 2.0,
+                                   cy=h / 2.0, voxel_size=0.05,
+                                   subsample_factor=2)
+
+        def run():
+            pipe = DepthToReconstructionPipeline(cfg, verbose=False)
+            pipe.load_data(rgb_dir, dep_dir)
+            return pipe.reconstruct()
+
+        pts_a, col_a, poses_a = run()
+        monkeypatch.setenv("TXR_SEQ_CHUNK", "1")
+        pts_b, col_b, poses_b = run()
+        assert pts_a is not None and pts_b is not None
+        assert len(poses_a) == len(poses_b)
+        for (Ra, ta), (Rb, tb) in zip(poses_a, poses_b):
+            np.testing.assert_allclose(Ra, Rb, atol=1e-6)
+            np.testing.assert_allclose(ta, tb, atol=1e-6)
+        assert len(pts_a) == len(pts_b)
+        np.testing.assert_allclose(pts_a, pts_b, atol=1e-6)
+        np.testing.assert_allclose(col_a, col_b, atol=1e-6)
+
+    def test_enhanced_pipeline_seq_chunked_identical(self, tmp_path, rng,
+                                                     monkeypatch):
+        import cv2
+
+        from txr.pipelines.enhanced_pipeline import DepthEnhancedReconstruction
+
+        class FakeDepthModel:
+            def infer(self, img, intr=None):
+                h, w = img.shape[:2]
+                yy = np.linspace(0, 0.4, h, dtype=np.float32)[:, None]
+                return 2.0 + yy + np.zeros((h, w), np.float32)
+
+            def infer_batch(self, imgs, intr=None):
+                return np.stack([self.infer(im) for im in imgs])
+
+        rgb_dir, _, _ = self._scene_dirs(tmp_path, rng)
+        K = np.array([[110.0, 0, 64], [0, 110.0, 48], [0, 0, 1]])
+
+        def run():
+            rec = DepthEnhancedReconstruction(
+                K, use_depth=True, use_hybrid_features=True,
+                depth_model=FakeDepthModel(), verbose=False,
+                subsample=4, voxel_size=0.05)
+            rec.load_images(rgb_dir)
+            return rec.reconstruct(output_dir=str(tmp_path / "out"))
+
+        ra = run()
+        monkeypatch.setenv("TXR_SEQ_CHUNK", "1")
+        rb = run()
+        assert ra is not None and rb is not None
+        assert len(ra[0]) == len(rb[0])
+        np.testing.assert_allclose(ra[0], rb[0], atol=1e-6)

@@ -363,11 +363,38 @@ class DepthEnhancedReconstruction:
             for i, d in enumerate(self.depths[:n]):
                 if d is not None:
                     depth_stack[i, :d.shape[0], :d.shape[1]] = d
-            Xw_d, ok_d, sw_d, okn_d = _enh_scales_batch(
-                X, valid, jnp.asarray(B), jnp.asarray(depth_stack),
-                jnp.asarray(R_prev), jnp.asarray(t_prev))
-            sw_h = np.asarray(jax.vmap(clamp_scale)(sw_d))
-            okn_h = np.asarray(okn_d)
+            # Sequences longer than TXR_SEQ_CHUNK pairs slice the scale
+            # program: the (N, H, W) depth stack is O(views) in HBM
+            # (8.3 MB/view f32 at 1080p). The chunk is a power of two so it
+            # divides the pow2-padded pair count; per-pair math is
+            # independent, so results are identical.
+            seq_chunk = _pad_pow2(int(os.environ.get("TXR_SEQ_CHUNK", "64")))
+            if p2 <= seq_chunk:
+                Xw_d, ok_d, sw_d, okn_d = _enh_scales_batch(
+                    X, valid, jnp.asarray(B), jnp.asarray(depth_stack),
+                    jnp.asarray(R_prev), jnp.asarray(t_prev))
+                sw_h = np.asarray(jax.vmap(clamp_scale)(sw_d))
+                okn_h = np.asarray(okn_d)
+            else:
+                cp = seq_chunk
+                sw_l, okn_l, Xw_l, ok_l = [], [], [], []
+                for s in range(0, p2, cp):
+                    Xw_c, ok_c, sw_c, okn_c = _enh_scales_batch(
+                        X[s:s + cp], valid[s:s + cp],
+                        jnp.asarray(B[s:s + cp]),
+                        jnp.asarray(depth_stack[s:s + cp + 1]),
+                        jnp.asarray(R_prev[s:s + cp]),
+                        jnp.asarray(t_prev[s:s + cp]))
+                    sw_l.append(np.asarray(jax.vmap(clamp_scale)(sw_c)))
+                    okn_l.append(np.asarray(okn_c))
+                    if self.use_ba:
+                        Xw_l.append(np.asarray(Xw_c))
+                        ok_l.append(np.asarray(ok_c))
+                sw_h = np.concatenate(sw_l)
+                okn_h = np.concatenate(okn_l)
+                # host arrays; the BA block's np.asarray() is a no-op
+                Xw_d = np.concatenate(Xw_l) if self.use_ba else None
+                ok_d = np.concatenate(ok_l) if self.use_ba else None
 
         if need_scales:
             s0 = clamp_scale(estimate_scale(

@@ -207,6 +207,28 @@ def _pairs_batch(desc, fmask, fuv, K, keys, match_ratio, ransac_threshold,
 
 
 @jax.jit
+def _scales_init(X0, valid0, uv1_0, uv2_0, d0, d1):
+    """Init-pair scale estimates only (the chunked-sequence split of
+    _scales_batch)."""
+    s1 = estimate_scale(X0, uv1_0, valid0, d0)
+    s2 = estimate_scale(X0, uv2_0, valid0, d1)
+    return clamp_scale(s1), clamp_scale(s2), jnp.sum(valid0)
+
+
+@jax.jit
+def _scales_views(X, valid, uv2, R_prev, t_prev, depths_next):
+    """Per-view world-frame scales for one chunk of pairs (the chunked-
+    sequence split of _scales_batch); depths_next[p] is view p+1's depth."""
+
+    def one(Xp, vp, u2p, Rp, tp, depth_i):
+        Xw, ok = sparse_to_world(Xp, vp, Rp, tp)
+        s = estimate_scale(Xw, u2p, ok, depth_i)
+        return clamp_scale(s), jnp.sum(ok)
+
+    return jax.vmap(one)(X, valid, uv2, R_prev, t_prev, depths_next)
+
+
+@jax.jit
 def _scales_batch(X, valid, uv1, uv2, depths, R_prev, t_prev):
     """Init-pair scales + per-view world-frame scales in one program.
 
@@ -388,14 +410,49 @@ class DepthToReconstructionPipeline:
         keys = jnp.stack([self._next_key() for _ in range(p2)])
 
         # ---- program 1: all pair matches + pose/structure ------------------
-        (R_rel, t_rel, X, valid, n_inl, n_match, uv1b, uv2b, _okb) = \
-            _pairs_batch(jnp.asarray(desc), jnp.asarray(fmask),
-                         jnp.asarray(fuv), K, keys, cfg.match_ratio,
-                         cfg.ransac_threshold, cfg.min_depth, cfg.max_depth)
-        # ONE round-trip fetch of the small host-chain inputs (X/uv stay on
-        # device for the scale program).
-        R_rel_h, t_rel_h, n_inl_h, n_match_h = jax.device_get(
-            (R_rel, t_rel, n_inl, n_match))
+        # Sequences longer than TXR_SEQ_CHUNK pairs run the SAME program
+        # over fixed-size pair slabs: the stacked descriptor input is
+        # O(views) in HBM (4.2 MB/view at cap 8192), so one program over a
+        # 1000-view folder would stage >4 GB before compute starts. The
+        # chunk is a power of two, so it divides the pow2-padded pair count
+        # and every slab compiles to the one shape. Per-pair math is
+        # independent — chunked results are identical.
+        seq_chunk = _pad_pow2(int(os.environ.get("TXR_SEQ_CHUNK", "64")))
+        pair_chunks = None
+        if p2 <= seq_chunk:
+            (R_rel, t_rel, X, valid, n_inl, n_match, uv1b, uv2b, _okb) = \
+                _pairs_batch(jnp.asarray(desc), jnp.asarray(fmask),
+                             jnp.asarray(fuv), K, keys, cfg.match_ratio,
+                             cfg.ransac_threshold, cfg.min_depth,
+                             cfg.max_depth)
+            # ONE round-trip fetch of the small host-chain inputs (X/uv stay
+            # on device for the scale program).
+            R_rel_h, t_rel_h, n_inl_h, n_match_h = jax.device_get(
+                (R_rel, t_rel, n_inl, n_match))
+        else:
+            cp = seq_chunk
+            pair_chunks = []          # per-chunk device (X, valid, uv2)
+            R_l, t_l, ni_l, nm_l = [], [], [], []
+            uv1_0 = X0 = valid0_d = None
+            for s in range(0, p2, cp):
+                (Rc, tc, Xc, vc, nic, nmc, u1c, u2c, _ok) = _pairs_batch(
+                    jnp.asarray(desc[s:s + cp + 1]),
+                    jnp.asarray(fmask[s:s + cp + 1]),
+                    jnp.asarray(fuv[s:s + cp + 1]), K, keys[s:s + cp],
+                    cfg.match_ratio, cfg.ransac_threshold, cfg.min_depth,
+                    cfg.max_depth)
+                if s == 0:
+                    uv1_0, X0, valid0_d = u1c[0], Xc[0], vc[0]
+                pair_chunks.append((Xc, vc, u2c))
+                a, b, c2, d2 = jax.device_get((Rc, tc, nic, nmc))
+                R_l.append(a)
+                t_l.append(b)
+                ni_l.append(c2)
+                nm_l.append(d2)
+            R_rel_h = np.concatenate(R_l)
+            t_rel_h = np.concatenate(t_l)
+            n_inl_h = np.concatenate(ni_l)
+            n_match_h = np.concatenate(nm_l)
 
         # ---- Step 1: initialize with the first pair ------------------------
         self._log("\n--- Step 1: Initialize with first pair ---")
@@ -432,12 +489,34 @@ class DepthToReconstructionPipeline:
             processed.append(i)
 
         # ---- program 2: all scale estimates --------------------------------
-        s1_d, s2_d, n_valid0_d, sw_d, okn_d = _scales_batch(
-            X, valid, uv1b, uv2b, jnp.asarray(depths),
-            jnp.asarray(R_prev), jnp.asarray(t_prev))
-        s1c, s2c, n_valid0, sw_h, okn_h = jax.device_get(
-            (clamp_scale(s1_d), clamp_scale(s2_d), n_valid0_d,
-             jax.vmap(clamp_scale)(sw_d), okn_d))
+        if pair_chunks is None:
+            s1_d, s2_d, n_valid0_d, sw_d, okn_d = _scales_batch(
+                X, valid, uv1b, uv2b, jnp.asarray(depths),
+                jnp.asarray(R_prev), jnp.asarray(t_prev))
+            s1c, s2c, n_valid0, sw_h, okn_h = jax.device_get(
+                (clamp_scale(s1_d), clamp_scale(s2_d), n_valid0_d,
+                 jax.vmap(clamp_scale)(sw_d), okn_d))
+        else:
+            # Same split, chunked: the (N, H, W) depth stack is the other
+            # O(views) device allocation (8.3 MB/view f32 at 1080p).
+            cp = seq_chunk
+            s1_d, s2_d, nv0 = _scales_init(
+                X0, valid0_d, uv1_0, pair_chunks[0][2][0],
+                jnp.asarray(depths[0]), jnp.asarray(depths[1]))
+            sw_l, okn_l = [], []
+            for ci, s in enumerate(range(0, p2, cp)):
+                Xc, vc, u2c = pair_chunks[ci]
+                swc, oknc = _scales_views(
+                    Xc, vc, u2c, jnp.asarray(R_prev[s:s + cp]),
+                    jnp.asarray(t_prev[s:s + cp]),
+                    jnp.asarray(depths[s + 1:s + cp + 1]))
+                a, b = jax.device_get((swc, oknc))
+                sw_l.append(a)
+                okn_l.append(b)
+                pair_chunks[ci] = None  # free this chunk's device buffers
+            s1c, s2c, n_valid0 = jax.device_get((s1_d, s2_d, nv0))
+            sw_h = np.concatenate(sw_l)
+            okn_h = np.concatenate(okn_l)
         n_valid0 = int(n_valid0)
         self._log(f"Valid sparse points: {n_valid0}")
 
