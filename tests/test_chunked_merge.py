@@ -256,6 +256,7 @@ class TestSequenceChunking:
             pipe.load_data(rgb_dir, dep_dir)
             return pipe.reconstruct()
 
+        monkeypatch.delenv("TXR_SEQ_CHUNK", raising=False)
         pts_a, col_a, poses_a = run()
         monkeypatch.setenv("TXR_SEQ_CHUNK", "1")
         pts_b, col_b, poses_b = run()
@@ -270,8 +271,6 @@ class TestSequenceChunking:
 
     def test_enhanced_pipeline_seq_chunked_identical(self, tmp_path, rng,
                                                      monkeypatch):
-        import cv2
-
         from txr.pipelines.enhanced_pipeline import DepthEnhancedReconstruction
 
         class FakeDepthModel:
@@ -294,6 +293,7 @@ class TestSequenceChunking:
             rec.load_images(rgb_dir)
             return rec.reconstruct(output_dir=str(tmp_path / "out"))
 
+        monkeypatch.delenv("TXR_SEQ_CHUNK", raising=False)
         ra = run()
         monkeypatch.setenv("TXR_SEQ_CHUNK", "1")
         rb = run()

@@ -36,7 +36,7 @@ from txr.geometry.scale import estimate_scale, clamp_scale
 from txr.ops.backproject import backproject_world
 from txr.ops.voxel import voxel_downsample
 from txr.pipelines.fusion_pipeline import (pair_step, sparse_to_world, _raw,
-                                           _pad_pow2)
+                                           _pad_pow2, _seq_chunk)
 from txr.fusion.pointcloud import depth_to_pointcloud, merge_pointclouds
 from txr.io.ply import write_ply
 
@@ -359,30 +359,42 @@ class DepthEnhancedReconstruction:
             # and padded depth rows read 0 (< min_depth) downstream.
             h = max(im.shape[0] for im in self.images)
             w = max(im.shape[1] for im in self.images)
-            depth_stack = np.zeros((p2 + 1, h, w), np.float32)
-            for i, d in enumerate(self.depths[:n]):
-                if d is not None:
-                    depth_stack[i, :d.shape[0], :d.shape[1]] = d
+
+            def depth_slab(lo, hi):
+                slab = np.zeros((hi - lo, h, w), np.float32)
+                for i in range(lo, min(hi, n)):
+                    d = self.depths[i]
+                    if d is not None:
+                        slab[i - lo, :d.shape[0], :d.shape[1]] = d
+                return slab
+
             # Sequences longer than TXR_SEQ_CHUNK pairs slice the scale
             # program: the (N, H, W) depth stack is O(views) in HBM
-            # (8.3 MB/view f32 at 1080p). The chunk is a power of two so it
-            # divides the pow2-padded pair count; per-pair math is
-            # independent, so results are identical.
-            seq_chunk = _pad_pow2(int(os.environ.get("TXR_SEQ_CHUNK", "64")))
+            # (8.3 MB/view f32 at 1080p) — and the padded host copy is
+            # O(views) too, so slabs are built per chunk straight from
+            # self.depths. The chunk is a power of two so it divides the
+            # pow2-padded pair count; per-pair math is independent, so
+            # results are identical.
+            seq_chunk = _seq_chunk()
             if p2 <= seq_chunk:
                 Xw_d, ok_d, sw_d, okn_d = _enh_scales_batch(
-                    X, valid, jnp.asarray(B), jnp.asarray(depth_stack),
+                    X, valid, jnp.asarray(B),
+                    jnp.asarray(depth_slab(0, p2 + 1)),
                     jnp.asarray(R_prev), jnp.asarray(t_prev))
                 sw_h = np.asarray(jax.vmap(clamp_scale)(sw_d))
                 okn_h = np.asarray(okn_d)
             else:
                 cp = seq_chunk
+                # one host fetch; numpy slices re-stage per chunk (device
+                # slicing would compile a program per start offset)
+                X_h, valid_h = jax.device_get((X, valid))
                 sw_l, okn_l, Xw_l, ok_l = [], [], [], []
                 for s in range(0, p2, cp):
                     Xw_c, ok_c, sw_c, okn_c = _enh_scales_batch(
-                        X[s:s + cp], valid[s:s + cp],
+                        jnp.asarray(X_h[s:s + cp]),
+                        jnp.asarray(valid_h[s:s + cp]),
                         jnp.asarray(B[s:s + cp]),
-                        jnp.asarray(depth_stack[s:s + cp + 1]),
+                        jnp.asarray(depth_slab(s, s + cp + 1)),
                         jnp.asarray(R_prev[s:s + cp]),
                         jnp.asarray(t_prev[s:s + cp]))
                     sw_l.append(np.asarray(jax.vmap(clamp_scale)(sw_c)))

@@ -297,6 +297,13 @@ def _pad_pow2(n: int, lo: int = 1) -> int:
     return max(lo, 1 << int(np.ceil(np.log2(max(n, 1)))))
 
 
+def _seq_chunk() -> int:
+    """Pair-slab size for long sequences (TXR_SEQ_CHUNK, default 64),
+    rounded up to a power of two so it divides the pow2-padded pair count.
+    Shared by the fusion and enhanced pipelines."""
+    return _pad_pow2(int(os.environ.get("TXR_SEQ_CHUNK", "64")))
+
+
 class DepthToReconstructionPipeline:
     """RGB + precomputed depth → fused PLY (reference CLI #1)."""
 
@@ -359,11 +366,14 @@ class DepthToReconstructionPipeline:
     def reconstruct(self):
         """Run the full pipeline. Returns (points, colors[0..255], poses).
 
-        Sequence-batched: three jitted programs total (pairs, scales,
-        dense+merge) regardless of frame count — see _pairs_batch. Host
-        Python carries only the reference's skip / pose-chain / scale-EMA
-        logic (depth_to_reconstruction.py:479-671). Frame counts are padded
-        to a power of two so programs compile once per shape bucket.
+        Sequence-batched: three jitted programs (pairs, scales,
+        dense+merge), each invoked once for sequences up to TXR_SEQ_CHUNK
+        pairs and once per fixed-size slab beyond that (same compiled
+        shape; device memory O(chunk), results identical — see the
+        program-1 comment). Host Python carries only the reference's
+        skip / pose-chain / scale-EMA logic
+        (depth_to_reconstruction.py:479-671). Frame counts are padded to a
+        power of two so programs compile once per shape bucket.
         """
         cfg = self.config
         if len(self.images) < 2:
@@ -407,7 +417,7 @@ class DepthToReconstructionPipeline:
         # pairs, so the streams diverge after the first skip — both are
         # valid RANSAC draws; exact replication would need match counts on
         # host BEFORE program 1, an extra round trip per sequence.
-        keys = jnp.stack([self._next_key() for _ in range(p2)])
+        key_list = [self._next_key() for _ in range(p2)]
 
         # ---- program 1: all pair matches + pose/structure ------------------
         # Sequences longer than TXR_SEQ_CHUNK pairs run the SAME program
@@ -416,35 +426,41 @@ class DepthToReconstructionPipeline:
         # 1000-view folder would stage >4 GB before compute starts. The
         # chunk is a power of two, so it divides the pow2-padded pair count
         # and every slab compiles to the one shape. Per-pair math is
-        # independent — chunked results are identical.
-        seq_chunk = _pad_pow2(int(os.environ.get("TXR_SEQ_CHUNK", "64")))
+        # independent — chunked results are identical. Per-chunk outputs
+        # round-trip to host (~170 KB/pair) and re-stage for the scale
+        # program, so HBM residency is O(chunk), not O(sequence).
+        seq_chunk = _seq_chunk()
         pair_chunks = None
         if p2 <= seq_chunk:
             (R_rel, t_rel, X, valid, n_inl, n_match, uv1b, uv2b, _okb) = \
                 _pairs_batch(jnp.asarray(desc), jnp.asarray(fmask),
-                             jnp.asarray(fuv), K, keys, cfg.match_ratio,
-                             cfg.ransac_threshold, cfg.min_depth,
-                             cfg.max_depth)
+                             jnp.asarray(fuv), K, jnp.stack(key_list),
+                             cfg.match_ratio, cfg.ransac_threshold,
+                             cfg.min_depth, cfg.max_depth)
             # ONE round-trip fetch of the small host-chain inputs (X/uv stay
             # on device for the scale program).
             R_rel_h, t_rel_h, n_inl_h, n_match_h = jax.device_get(
                 (R_rel, t_rel, n_inl, n_match))
         else:
             cp = seq_chunk
-            pair_chunks = []          # per-chunk device (X, valid, uv2)
+            pair_chunks = []          # per-chunk HOST (X, valid, uv2)
             R_l, t_l, ni_l, nm_l = [], [], [], []
-            uv1_0 = X0 = valid0_d = None
+            uv1_0 = None
             for s in range(0, p2, cp):
                 (Rc, tc, Xc, vc, nic, nmc, u1c, u2c, _ok) = _pairs_batch(
                     jnp.asarray(desc[s:s + cp + 1]),
                     jnp.asarray(fmask[s:s + cp + 1]),
-                    jnp.asarray(fuv[s:s + cp + 1]), K, keys[s:s + cp],
+                    jnp.asarray(fuv[s:s + cp + 1]), K,
+                    jnp.stack(key_list[s:s + cp]),
                     cfg.match_ratio, cfg.ransac_threshold, cfg.min_depth,
                     cfg.max_depth)
+                # host round trip doubles as backpressure: without it the
+                # async dispatch would stage every slab into HBM at once
+                Xh, vh, u2h, a, b, c2, d2 = jax.device_get(
+                    (Xc, vc, u2c, Rc, tc, nic, nmc))
                 if s == 0:
-                    uv1_0, X0, valid0_d = u1c[0], Xc[0], vc[0]
-                pair_chunks.append((Xc, vc, u2c))
-                a, b, c2, d2 = jax.device_get((Rc, tc, nic, nmc))
+                    uv1_0 = np.asarray(u1c[0])
+                pair_chunks.append((Xh, vh, u2h))
                 R_l.append(a)
                 t_l.append(b)
                 ni_l.append(c2)
@@ -500,20 +516,23 @@ class DepthToReconstructionPipeline:
             # Same split, chunked: the (N, H, W) depth stack is the other
             # O(views) device allocation (8.3 MB/view f32 at 1080p).
             cp = seq_chunk
+            X0, valid0_0, uv2_0 = pair_chunks[0]
             s1_d, s2_d, nv0 = _scales_init(
-                X0, valid0_d, uv1_0, pair_chunks[0][2][0],
+                jnp.asarray(X0[0]), jnp.asarray(valid0_0[0]),
+                jnp.asarray(uv1_0), jnp.asarray(uv2_0[0]),
                 jnp.asarray(depths[0]), jnp.asarray(depths[1]))
             sw_l, okn_l = [], []
             for ci, s in enumerate(range(0, p2, cp)):
                 Xc, vc, u2c = pair_chunks[ci]
                 swc, oknc = _scales_views(
-                    Xc, vc, u2c, jnp.asarray(R_prev[s:s + cp]),
+                    jnp.asarray(Xc), jnp.asarray(vc), jnp.asarray(u2c),
+                    jnp.asarray(R_prev[s:s + cp]),
                     jnp.asarray(t_prev[s:s + cp]),
                     jnp.asarray(depths[s + 1:s + cp + 1]))
                 a, b = jax.device_get((swc, oknc))
                 sw_l.append(a)
                 okn_l.append(b)
-                pair_chunks[ci] = None  # free this chunk's device buffers
+                pair_chunks[ci] = None  # free this chunk's buffers
             s1c, s2c, n_valid0 = jax.device_get((s1_d, s2_d, nv0))
             sw_h = np.concatenate(sw_l)
             okn_h = np.concatenate(okn_l)
