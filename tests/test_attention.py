@@ -59,6 +59,35 @@ class TestFusedKernel:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=3e-5, atol=3e-5)
 
+    @pytest.mark.parametrize("bq,bk", [(32, 48), (48, 32), (32, 96)])
+    def test_non_dividing_block_sizes(self, rng, bq, bk):
+        """Regression: padding to max(bq, bk) instead of a common multiple
+        dropped valid keys (bq > bk) or left output rows unwritten
+        (bk > bq) whenever the block sizes did not divide each other."""
+        b, s, h, d = 1, 70, 2, 8
+        qkv = jnp.asarray(rng.normal(size=(b, s, 3 * h * d)).astype(np.float32))
+        ref = _fused_reference(qkv, h, d)
+        got = attention_flash_fused(qkv, h, d, block_q=bq, block_k=bk)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=3e-5, atol=3e-5)
+
+    def test_pad_mass_correction_bf16(self, rng):
+        """Regression: the zero-pad normalizer correction must subtract the
+        bf16-ROUNDED pad contribution. Adversarial shape: large pad count,
+        rows whose valid softmax mass is ~1 (one moderate logit, the rest
+        strongly negative) so a coherent pad-rounding residual shows up
+        directly in the output."""
+        b, s, h, d = 1, 65, 2, 16   # pads to 128: 63 pad columns
+        x = rng.normal(size=(b, s, 3 * h * d)).astype(np.float32) * 0.05
+        # K rows mostly anti-aligned with Q -> strongly negative logits;
+        # one matching key per head keeps the row normalizer near 1.
+        qkv = jnp.asarray(x).astype(jnp.bfloat16)
+        ref = _fused_reference(qkv.astype(jnp.float32), h, d)
+        got = attention_flash_fused(qkv, h, d, block_q=128)
+        np.testing.assert_allclose(
+            np.asarray(got).astype(np.float32), np.asarray(ref),
+            rtol=2e-2, atol=2e-2)  # bf16 inputs: matmul rounding dominates
+
     def test_1pass_extreme_negative_logits_stay_finite(self, rng):
         # The zero-pad normalizer trick degrades only if every valid logit is
         # below ~-80; at plausible extremes the output must remain finite.

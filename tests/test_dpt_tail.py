@@ -37,6 +37,35 @@ class TestFusedTail:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
 
+    @pytest.mark.parametrize("shape", [
+        (1, 176, 16, 180, 20, 8, 8),    # near-1 ratio: window can't cover
+        (1, 64, 16, 40, 20, 8, 8),      # downsample
+        (1, 32, 16, 1, 20, 8, 8),       # out_h == 1 (ratio zero division)
+        (1, 176, 16, 184, 20, 8, 8),    # another tight ratio
+    ])
+    def test_uncoverable_shapes_fall_back_exactly(self, rng, shape):
+        """Regression: near-1 upsample ratios and downsamples need more
+        input rows per grid step than the two-block window holds; the
+        kernel's clips then silently read WRONG rows (confirmed maxerr
+        0.40 at 176->180). These shapes must route to the XLA reference."""
+        b, hin, win, hout, wout, c, feat = shape
+        x, w2, b2, w3, b3 = make_case(rng, *shape, jnp.float32)
+        ref = head_tail_reference(x, w2, b2, w3, b3, hout, wout)
+        got = fused_head_tail(x, w2, b2, w3, b3, hout, wout, interpret=True)
+        assert got.shape == ref.shape == (b, hout, wout)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_shipped_dpt_ratio_stays_fused(self):
+        """The DPT head's real ratio (hin/out_h ~ 0.57) must keep using the
+        fused kernel — the coverage guard may not over-trigger."""
+        from txr.ops.dpt_tail import _window_covers
+        assert _window_covers(296, 518)      # ViT-L 1080p bench shape
+        assert _window_covers(37 * 8, 518)   # 518-square operating point
+        assert not _window_covers(176, 180)
+        assert not _window_covers(64, 40)
+        assert not _window_covers(32, 1)
+
     def test_matches_reference_bf16(self, rng):
         shape = (1, 32, 32, 36, 42, 128, 32)
         x, w2, b2, w3, b3 = make_case(rng, *shape, jnp.bfloat16)

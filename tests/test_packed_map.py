@@ -114,3 +114,52 @@ class TestPackedMap:
         assert int(packed_map_size(p)) == 16
         hi = np.asarray(p.khi)
         assert np.all(np.diff(hi.astype(np.int64)) >= 0)  # sorted, compact
+
+
+class TestNoDriftAtLargeAccumulatedWeight:
+    def test_weights_exact_with_heavy_resident_map(self):
+        """Same ADVICE-r1 regression class as offset_map: per-voxel weights
+        recovered from the reduction must be exact even when the map's
+        TOTAL accumulated weight (~5e8) is far beyond f32 prefix-sum
+        exactness (2^24). Global-cumsum + differencing fails this with
+        weight errors in the hundreds on tail voxels."""
+        import jax.numpy as jnp
+
+        from txr.core.types import PointSet
+        from txr.fusion.packed_map import (PackedVoxelMap, create_packed_map,
+                                           pack_keys, pack_rgbw,
+                                           packed_map_insert, unpack_rgbw)
+
+        cap = 1 << 18
+        nres = 250_000
+        wres = 2000.0
+        p = create_packed_map(cap, 1.0)
+        i = np.arange(nres)
+        kx = jnp.asarray(i % 128, jnp.int32)
+        ky = jnp.asarray((i // 128) % 128, jnp.int32)
+        kz = jnp.asarray(i // 16384, jnp.int32)
+        khi, klo = pack_keys(kx, ky, kz, jnp.ones(nres, bool))
+        sums = jnp.stack([kx + 0.25, ky + 0.5, kz + 0.75], 1) * wres
+        p1, p2 = pack_rgbw(jnp.full(nres, 0.25 * wres),
+                           jnp.full(nres, 0.5 * wres),
+                           jnp.full(nres, 0.75 * wres),
+                           jnp.full(nres, wres))
+        p = p._replace(
+            khi=p.khi.at[:nres].set(khi),
+            klo=p.klo.at[:nres].set(klo),
+            sum_xyz=p.sum_xyz.at[:nres].set(sums),
+            rgbw=p.rgbw.at[:nres].set(jnp.stack([p1, p2], 1)))
+
+        # insert ONE weight-1 point into a fresh voxel near the key tail
+        pt = np.array([[200.25, 100.5, 14.75]], np.float32)
+        ps = PointSet(jnp.asarray(pt), jnp.full((1, 3), 0.5, jnp.float32),
+                      jnp.ones(1, bool))
+        p = packed_map_insert(p, ps)
+
+        _, _, _, w = unpack_rgbw(p.rgbw[:, 0], p.rgbw[:, 1])
+        occ = np.asarray(w) > 0
+        assert occ.sum() == nres + 1
+        ws = np.asarray(w)[occ]
+        # every resident voxel keeps weight EXACTLY 2000; the new one is 1
+        assert (np.sort(np.unique(ws)) == [1.0, 2000.0]).all(), (
+            np.unique(ws)[:10])

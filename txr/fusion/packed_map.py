@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from txr.core.types import PointSet
-from txr.ops.scan import matmul_cumsum
+from txr.ops.scan import segmented_cumsum_cols
 from txr.ops.segment import INT_MAX
 
 _HALF_RANGE = 1 << 17  # 2^17 cells per semi-axis
@@ -184,7 +184,15 @@ def packed_map_insert(vm: PackedVoxelMap, points: PointSet) -> PackedVoxelMap:
 
     last = ((skhi != jnp.roll(skhi, -1)) | (sklo != jnp.roll(sklo, -1))
             ).at[n - 1].set(True)
-    csum = matmul_cumsum(scols)
+    # SEGMENTED scan, not global-cumsum + adjacent differences: a global f32
+    # prefix grows with TOTAL accumulated map weight (weight decay bounds
+    # per-voxel weights, not the column's prefix), and differences then
+    # carry absolute errors that corrupt low-weight voxels' means and the
+    # wgt>0 occupancy test — the same ADVICE-r1 flaw offset_map fixed. The
+    # segment-END value of the segmented scan is exactly that segment's sum.
+    starts = jnp.roll(last, 1)  # row 0 rolls in last[n-1] == True
+    seg = segmented_cumsum_cols(tuple(scols[:, j] for j in range(7)), starts)
+    csum = jnp.stack(seg, axis=1)
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     order = jnp.where(last, pos, jnp.int32(n))
@@ -195,8 +203,7 @@ def packed_map_insert(vm: PackedVoxelMap, points: PointSet) -> PackedVoxelMap:
     is_seg = (-neg_top) < n
 
     ends = csum[perm_c]
-    prev = jnp.concatenate([jnp.zeros((1, 7), ends.dtype), ends[:-1]], axis=0)
-    sums = jnp.where(is_seg[:, None], ends - prev, 0.0)
+    sums = jnp.where(is_seg[:, None], ends, 0.0)
 
     okhi = jnp.where(is_seg, skhi[perm_c], INT_MAX)
     oklo = jnp.where(is_seg, sklo[perm_c], INT_MAX)

@@ -15,6 +15,7 @@ autodiff (the Pallas kernel is forward-only for now).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -228,7 +229,14 @@ def _fused_kernel_1pass(q_ref, k_ref, v_ref, o_ref, *, pad_count: int,
         # normalizer from the bf16 p (half the read bandwidth); f32 accum
         l = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
         if pad_count:
-            l = l - pad_count * jnp.exp2(-m)
+            # Each pad column contributed the bf16-ROUNDED exp2(-m) to l
+            # (p was cast before the sum); subtract that identical rounded
+            # value, not the exact f32 one — the pads' rounding errors are
+            # all equal, so they add coherently and an exact-f32 correction
+            # leaves a residual of up to pad_count * 2^-9 * 2^-m in l
+            # [code-review r2].
+            pad_p = jnp.exp2(-m).astype(v.dtype).astype(jnp.float32)
+            l = l - pad_count * pad_p
         acc = jnp.dot(p, v, preferred_element_type=jnp.float32)
         outs.append(acc / jnp.maximum(l, 1e-30))
     o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
@@ -242,9 +250,6 @@ def default_score_mode() -> str:
     return os.environ.get("TXR_ATTN_SCORES", "f32max")
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("num_heads", "head_dim", "kv_len",
-                                    "block_q", "block_k", "score_mode"))
 def attention_flash_fused(qkv: jnp.ndarray, num_heads: int, head_dim: int,
                           kv_len: int | None = None,
                           block_q: int = 512,
@@ -257,13 +262,37 @@ def attention_flash_fused(qkv: jnp.ndarray, num_heads: int, head_dim: int,
     heads so blocks are 128 channels wide (TPU lane tiling). Requires an even
     head count (all DINOv2 presets qualify). Returns (B, S, H*D), ready for
     the output projection.
+
+    This wrapper resolves the TXR_ATTN_SCORES default OUTSIDE the jit: the
+    env var must not be read at trace time, or the first call's value would
+    be baked into the cache entry for score_mode=None and later env changes
+    silently ignored [code-review r2].
     """
+    return _attention_flash_fused(
+        qkv, num_heads=num_heads, head_dim=head_dim, kv_len=kv_len,
+        block_q=block_q, block_k=block_k,
+        score_mode=score_mode or default_score_mode())
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "head_dim", "kv_len",
+                                    "block_q", "block_k", "score_mode"))
+def _attention_flash_fused(qkv: jnp.ndarray, num_heads: int, head_dim: int,
+                           kv_len: int | None,
+                           block_q: int,
+                           block_k: int | None,
+                           score_mode: str) -> jnp.ndarray:
     b, s, c = qkv.shape
     h, d = num_heads, head_dim
     assert c == 3 * h * d and h % 2 == 0
     if kv_len is None:
         kv_len = s
-    rem = (-s) % (block_q if block_k is None else max(block_q, block_k))
+    # Pad to a common multiple of both block sizes: the grid floor-divides
+    # by block_q and the kernel by block_k, so a max() pad silently dropped
+    # keys or left output rows unwritten for non-dividing combinations
+    # [code-review r2, confirmed at S=700 with 512/768 blocks].
+    mult = block_q if block_k is None else math.lcm(block_q, block_k)
+    rem = (-s) % mult
     if rem:
         qkv = jnp.pad(qkv, ((0, 0), (0, rem), (0, 0)))
     sp = qkv.shape[1]
@@ -279,8 +308,7 @@ def attention_flash_fused(qkv: jnp.ndarray, num_heads: int, head_dim: int,
         kernel = functools.partial(_fused_kernel_1pass,
                                    pad_count=sp - kv_len,
                                    sm_scale=d ** -0.5, d=d,
-                                   score_mode=(score_mode or
-                                               default_score_mode()))
+                                   score_mode=score_mode)
     elif block_k is None:
         kernel = functools.partial(_fused_kernel, kv_len=kv_len, block_k=sp,
                                    sm_scale=d ** -0.5, d=d)

@@ -48,7 +48,7 @@ try:
 except ImportError:  # pragma: no cover
     _HAS_PLTPU = False
 
-from txr.ops.resize import _linear_matrix, resize_bilinear
+from txr.ops.resize import resize_bilinear
 
 def _linear_matrix_np(out_size: int, in_size: int) -> np.ndarray:
     """Host-side (out, in) align_corners=True linear interpolation matrix —
@@ -71,6 +71,40 @@ def _linear_matrix_np(out_size: int, in_size: int) -> np.ndarray:
 
 HBO = 16   # output rows per grid step (sublane-aligned; grid overruns pad)
 HBI = 16   # input-row block height; two consecutive blocks form the window
+
+
+def _window_covers(hin: int, out_h: int) -> bool:
+    """True iff every grid step's two-block input window covers all the
+    rows its H-lerp taps need. The window starts at the HBI-aligned block
+    containing the step's first tap, so large upsample ratios are safe but
+    near-1 ratios and downsamples (roughly sh > (HBI-2)/(HBO+1)) can need
+    rows past the window — the kernel's clips would then silently read
+    WRONG rows [code-review r2, confirmed at 176->180]. Checked exactly,
+    statically, per grid step; failures fall back to head_tail_reference.
+    """
+    if out_h < 2 or hin < 1:
+        return False
+    import math as _math
+
+    sh = (hin - 1) / (out_h - 1)
+    nhb = -(-out_h // HBO)
+    nblk = -(-hin // HBI)
+    for i in range(nhb):
+        g0 = i * HBO - 1
+        fl0 = _math.floor(g0 * sh)
+        idx = min(max(fl0 // HBI, 0), nblk - 1)
+        start = idx * HBI
+        # tap rows are monotone in the output row, so the extremes suffice
+        for ho in (0, HBO + 1):
+            g = min(max(g0 + ho, 0), out_h - 1)
+            lo = min(max(_math.floor(g * sh), 0), hin - 1)
+            for r in (lo, min(lo + 1, hin - 1)):
+                rl = r - start
+                if rl < 0 or rl >= 2 * HBI:
+                    return False
+                if rl >= HBI and idx + 1 > nblk - 1:
+                    return False  # second block clamps to the first
+    return True
 WSEG = 4   # W-resize matmul split into this many column segments: the
            # interpolation matrix is 2-tap banded, so each output segment
            # only reads a ~Win/WSEG + 2 input band — 2x fewer effective
@@ -178,6 +212,12 @@ def fused_head_tail(x, w2, b2, w3, b3, out_h: int, out_w: int,
     if jax.default_backend() == "cpu":
         interpret = True     # no Mosaic on CPU; tests run interpreted
     b, hin, win, c = x.shape
+    # Shapes the fused kernel cannot serve route to the exact XLA
+    # reference: H-windows that cannot cover the lerp taps (near-1 ratios /
+    # downsamples), out_h == 1 (zero division in the ratio), and builds
+    # without pltpu (the scratch/compiler params below need it).
+    if not _HAS_PLTPU or not _window_covers(hin, out_h):
+        return head_tail_reference(x, w2, b2, w3, b3, out_h, out_w)
     feat = w2.shape[-1]
     nhb = -(-out_h // HBO)     # grid may overrun; OOB writes are masked
     # Input row-blocks may overrun hin: the lerp taps clamp to hin-1, so
