@@ -196,6 +196,57 @@ class TestScale:
                                  jnp.ones(4, bool), jnp.asarray(depth)))
         assert s == 1.0  # fewer than min_points
 
+    def test_empty_input_returns_default(self):
+        """Regression: zero-length sparse input (no triangulated points)
+        crashed masked_median with an IndexError; the reference returns
+        1.0 here."""
+        from txr.geometry.scale import DepthScaleEstimator
+
+        depth = np.ones((10, 10), np.float32)
+        s = float(estimate_scale(jnp.zeros((0, 3)), jnp.zeros((0, 2)),
+                                 jnp.zeros((0,), bool), jnp.asarray(depth)))
+        assert s == 1.0
+        assert masked_median(jnp.zeros((0,)), jnp.zeros((0,), bool)) == 0.0
+        est = DepthScaleEstimator()
+        assert est.estimate_scale(np.zeros((0, 3)), np.zeros((0, 2)),
+                                  depth) == 1.0
+        # the reference signature also takes (and ignores) K
+        assert est.estimate_scale(np.zeros((0, 3)), np.zeros((0, 2)),
+                                  depth, np.eye(3)) == 1.0
+
+    def test_pixel_lookup_truncates_like_reference(self):
+        """Regression: the reference reads depth at int(u), int(v)
+        (truncation); rounding read the neighboring pixel for half of all
+        sub-pixel keypoints — 100x scale divergence at discontinuities."""
+        depth = np.ones((4, 4), np.float32)
+        depth[:, 3] = 100.0
+        # keypoint at u=2.6: int() reads column 2 (depth 1), round() would
+        # read column 3 (depth 100)
+        xyz = np.array([[0, 0, 5.0]] * 3, np.float32)
+        uv = np.array([[2.6, 1.2]] * 3, np.float32)
+        s = float(estimate_scale(jnp.asarray(xyz), jnp.asarray(uv),
+                                 jnp.ones(3, bool), jnp.asarray(depth),
+                                 min_points=0))
+        assert s == pytest.approx(5.0)
+
+    def test_per_sample_clamp_matches_reference(self):
+        """depth_to_reconstruction.py:305-316 keeps each ratio only if
+        0.001 < s < 1000 BEFORE the median; near-zero-depth outliers must
+        not drag the median (they did when only the result was clamped)."""
+        depth = np.ones((8, 8), np.float32)
+        z = np.array([0.0005] * 4 + [2.0, 2.1, 2.2], np.float32)
+        xyz = np.stack([np.zeros(7), np.zeros(7), z], 1).astype(np.float32)
+        uv = np.tile(np.array([[3.0, 3.0]], np.float32), (7, 1))
+        s = float(estimate_scale(jnp.asarray(xyz), jnp.asarray(uv),
+                                 jnp.ones(7, bool), jnp.asarray(depth),
+                                 min_points=0, per_sample_clamp=True))
+        assert s == pytest.approx(2.1)
+        # without the per-sample gate the median lands on the outliers
+        s_raw = float(estimate_scale(jnp.asarray(xyz), jnp.asarray(uv),
+                                     jnp.ones(7, bool), jnp.asarray(depth),
+                                     min_points=0))
+        assert s_raw == pytest.approx(0.0005)
+
     def test_clamp_and_ema(self):
         assert float(clamp_scale(jnp.asarray(5000.0))) == 1.0
         assert float(clamp_scale(jnp.asarray(0.5))) == 0.5

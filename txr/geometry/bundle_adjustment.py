@@ -100,7 +100,12 @@ def bundle_adjust(problem: BAProblem, K: jnp.ndarray, iterations: int = 10,
             Xj = X[pi]
             r = res(Xj)
             J = jax.jacfwd(res)(Xj)                       # (2, 3)
-            hw = w * _huber_weight(r, huber_delta)
+            # behind-camera observations (z<=0: sign-flipped projection,
+            # huge spurious residual) must not steer the step — rms() below
+            # already excludes them, and optimizing what the monitor hides
+            # let BA 'converge' while dragging points the wrong way
+            _, z = _residual_one(K, R[ci], t[ci], Xj, uv)
+            hw = w * _huber_weight(r, huber_delta) * (z > 1e-6)
             return J.T @ J * hw, J.T @ r * hw             # (3,3), (3,)
 
         JtJ, Jtr = jax.vmap(obs_terms)(problem.obs_cam, problem.obs_point,
@@ -125,7 +130,8 @@ def bundle_adjust(problem: BAProblem, K: jnp.ndarray, iterations: int = 10,
             theta0 = jnp.zeros(6, jnp.float32)
             r = res(theta0)
             J = jax.jacfwd(res)(theta0)                   # (2, 6)
-            hw = w * _huber_weight(r, huber_delta)
+            _, z = _residual_one(K, R[ci], t[ci], X[pi], uv)
+            hw = w * _huber_weight(r, huber_delta) * (z > 1e-6)
             return J.T @ J * hw, J.T @ r * hw             # (6,6), (6,)
 
         JtJ, Jtr = jax.vmap(obs_terms)(problem.obs_cam, problem.obs_point,

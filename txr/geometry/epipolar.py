@@ -125,7 +125,6 @@ def fundamental_ransac(
       F (3,3), inlier_mask (N,) — refit on the best hypothesis's inliers.
     """
     n = pts1.shape[0]
-    fmask = mask.astype(pts1.dtype)
 
     # Sample 8 distinct valid indices per hypothesis: top-8 random priorities.
     prio = jax.random.uniform(key, (num_hypotheses, n))

@@ -102,18 +102,24 @@ def icp_point_to_plane(
         neg, idx = jax.lax.top_k(-d2, 1)
         return idx[:, 0], -neg[:, 0]
 
-    def step(_, carry):
-        R, t = carry
-        moved = src_p @ R.T + t  # (ns+pad, 3)
+    num_chunks = (ns + pad) // chunk
+
+    def nn_all(moved):
+        """Chunked nearest-target lookup for every (padded) source point —
+        shared by the GN loop and the final statistics so the two can never
+        desynchronize."""
 
         def do_chunk(i):
             pts = jax.lax.dynamic_slice_in_dim(moved, i * chunk, chunk)
             return nn_chunk(pts)
 
-        num_chunks = (ns + pad) // chunk
         idxs, d2s = jax.lax.map(do_chunk, jnp.arange(num_chunks))
-        idx = idxs.reshape(-1)
-        d2 = d2s.reshape(-1)
+        return idxs.reshape(-1), d2s.reshape(-1)
+
+    def step(_, carry):
+        R, t = carry
+        moved = src_p @ R.T + t  # (ns+pad, 3)
+        idx, d2 = nn_all(moved)
 
         q = tgt_xyz[idx]           # (N, 3) matched target points
         nrm = tgt_normals[idx]     # (N, 3)
@@ -137,14 +143,7 @@ def icp_point_to_plane(
 
     # Final residual statistics.
     moved = src_p @ R.T + t
-    num_chunks = (ns + pad) // chunk
-
-    def do_chunk(i):
-        pts = jax.lax.dynamic_slice_in_dim(moved, i * chunk, chunk)
-        return nn_chunk(pts)
-
-    idxs, d2s = jax.lax.map(do_chunk, jnp.arange(num_chunks))
-    d2 = d2s.reshape(-1)
+    _, d2 = nn_all(moved)
     ok = srcm_p & (d2 < max_d2)
     cnt = jnp.maximum(jnp.sum(ok), 1)
     rmse = jnp.sqrt(jnp.sum(jnp.where(ok, d2, 0.0)) / cnt)

@@ -19,6 +19,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+# One shared jacfwd-safe so(3) exponential for the whole geometry stack
+# (Taylor branch at w=0); a second local reimplementation was a duplicated
+# numerical edge case [code-review r2].
+from txr.geometry.icp import _so3_exp as _expm_so3
+
 _EPS = 1e-12
 
 
@@ -26,15 +31,6 @@ def _skew(v):
     return jnp.array([[0.0, -v[2], v[1]],
                       [v[2], 0.0, -v[0]],
                       [-v[1], v[0], 0.0]], v.dtype)
-
-
-def _expm_so3(w):
-    th = jnp.linalg.norm(w)
-    K = _skew(w / jnp.maximum(th, _EPS))
-    s = jnp.sin(th)
-    c = jnp.cos(th)
-    R = jnp.eye(3, dtype=w.dtype) + s * K + (1.0 - c) * (K @ K)
-    return jnp.where(th > 1e-9, R, jnp.eye(3, dtype=w.dtype) + _skew(w))
 
 
 def _tangent_basis(t):
@@ -90,7 +86,7 @@ def refine_pose(R0: jnp.ndarray, t0: jnp.ndarray, uv1: jnp.ndarray,
         return _sampson(E, n1, n2) * m
 
     def step(carry, _):
-        R, t, prev_cost = carry
+        R, t, c_old = carry                 # carried accepted cost
         z5 = jnp.zeros((5,), dt)
         r = cost_res(z5, R, t)
         J = jax.jacfwd(cost_res)(z5, R, t)          # (N, 5)
@@ -99,7 +95,6 @@ def refine_pose(R0: jnp.ndarray, t0: jnp.ndarray, uv1: jnp.ndarray,
         delta = -jnp.linalg.solve(JtJ, g)
         r_new = cost_res(delta, R, t)
         c_new = jnp.sum(r_new ** 2) / msum
-        c_old = jnp.sum(r ** 2) / msum
         accept = c_new < c_old
         w, v = delta[:3], delta[3:]
         b1, b2 = _tangent_basis(t)

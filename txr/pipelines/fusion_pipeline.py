@@ -210,8 +210,10 @@ def _pairs_batch(desc, fmask, fuv, K, keys, match_ratio, ransac_threshold,
 def _scales_init(X0, valid0, uv1_0, uv2_0, d0, d1):
     """Init-pair scale estimates only (the chunked-sequence split of
     _scales_batch)."""
-    s1 = estimate_scale(X0, uv1_0, valid0, d0)
-    s2 = estimate_scale(X0, uv2_0, valid0, d1)
+    s1 = estimate_scale(X0, uv1_0, valid0, d0,
+                        min_points=0, per_sample_clamp=True)
+    s2 = estimate_scale(X0, uv2_0, valid0, d1,
+                        min_points=0, per_sample_clamp=True)
     return clamp_scale(s1), clamp_scale(s2), jnp.sum(valid0)
 
 
@@ -222,7 +224,8 @@ def _scales_views(X, valid, uv2, R_prev, t_prev, depths_next):
 
     def one(Xp, vp, u2p, Rp, tp, depth_i):
         Xw, ok = sparse_to_world(Xp, vp, Rp, tp)
-        s = estimate_scale(Xw, u2p, ok, depth_i)
+        s = estimate_scale(Xw, u2p, ok, depth_i,
+                           min_points=0, per_sample_clamp=True)
         return clamp_scale(s), jnp.sum(ok)
 
     return jax.vmap(one)(X, valid, uv2, R_prev, t_prev, depths_next)
@@ -238,13 +241,18 @@ def _scales_batch(X, valid, uv1, uv2, depths, R_prev, t_prev):
     p+1 (host-computed; entry 0 unused).
     Returns (s1, s2, n_valid0, sw (P,), ok_n (P,)).
     """
-    s1 = estimate_scale(X[0], uv1[0], valid[0], depths[0])
-    s2 = estimate_scale(X[0], uv2[0], valid[0], depths[1])
+    # depth_to_reconstruction.py:297-326 semantics: no input-count gate,
+    # per-ratio (0.001, 1000) clamp before the median.
+    s1 = estimate_scale(X[0], uv1[0], valid[0], depths[0],
+                        min_points=0, per_sample_clamp=True)
+    s2 = estimate_scale(X[0], uv2[0], valid[0], depths[1],
+                        min_points=0, per_sample_clamp=True)
     n_valid0 = jnp.sum(valid[0])
 
     def one(Xp, vp, u2p, Rp, tp, depth_i):
         Xw, ok = sparse_to_world(Xp, vp, Rp, tp)
-        s = estimate_scale(Xw, u2p, ok, depth_i)
+        s = estimate_scale(Xw, u2p, ok, depth_i,
+                           min_points=0, per_sample_clamp=True)
         return s, jnp.sum(ok)
 
     sw, ok_n = jax.vmap(one)(X, valid, uv2, R_prev, t_prev, depths[1:])
@@ -721,8 +729,14 @@ class DenseReconstructor:
     def estimate_scale(self, sparse_points, sparse_2d, depth_map) -> float:
         from txr.geometry.scale import DepthScaleEstimator
 
-        s = DepthScaleEstimator().estimate_scale(sparse_points, sparse_2d, depth_map)
-        return float(np.asarray(clamp_scale(jnp.asarray(s))))
+        from txr.geometry.scale import estimate_scale as _es
+
+        pts = jnp.asarray(np.asarray(sparse_points, np.float32))
+        uv = jnp.asarray(np.asarray(sparse_2d, np.float32))
+        mask = jnp.ones(pts.shape[0], bool)
+        s = _es(pts, uv, mask, jnp.asarray(depth_map),
+                min_points=0, per_sample_clamp=True)
+        return float(np.asarray(clamp_scale(s)))
 
     def depth_to_pointcloud(self, depth, color, pose=None, scale: float = 1.0,
                             subsample: int = 2):
