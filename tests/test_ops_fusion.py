@@ -149,6 +149,27 @@ class TestOutlierRemoval:
         assert not mask[-1] and not mask[-2]  # planted outliers removed
         assert mask[:400].sum() > 380  # bulk survives
 
+    def test_grid_sentinel_excluded_from_statistics(self, rng):
+        """Regression: a single isolated point (no candidates in its grid
+        window -> ~1e6 sentinel distance) inflated sigma by ~1e5 and the
+        mu+2*sigma threshold then kept every genuine outlier. Sentinels
+        must be dropped unconditionally and excluded from the stats."""
+        from txr.ops.outlier import remove_statistical_outliers_grid
+
+        dense = (rng.normal(size=(2000, 3)) * 0.1).astype(np.float32)
+        # moderate outliers WITHIN grid-window reach (finite mean_d ~0.35
+        # vs dense ~0.06): these exercise the statistics, not the sentinel
+        genuine = np.array([[0.55, 0, 0], [-0.6, 0.1, 0]], np.float32)
+        isolated = np.array([[5e4, 5e4, 5e4]], np.float32)
+        xyz = np.concatenate([dense, genuine, isolated])
+        ps = PointSet.from_numpy(xyz)
+        out = remove_statistical_outliers_grid(ps, 0.3, nb_neighbors=10,
+                                               std_ratio=2.0, per_cell=32)
+        mask = np.asarray(out.mask)
+        assert not mask[-1], "isolated sentinel point kept"
+        assert not mask[-2] and not mask[-3], "genuine outliers kept"
+        assert mask[:2000].sum() > 1800
+
     def test_respects_capacity_padding(self, rng):
         xyz = rng.normal(size=(100, 3)).astype(np.float32)
         a = remove_statistical_outliers(PointSet.from_numpy(xyz), 10, 2.0, chunk=64)

@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from txr.ops.scan import segmented_cumsum_cols
 from txr.ops.sift import _blur, _shift2
 
 _INT_MAX = jnp.iinfo(jnp.int32).max
@@ -51,14 +52,24 @@ class LsdLines(NamedTuple):
 
 
 def _seg_scan_max(vals: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
-    """Segmented cumulative max: reset at positions where starts is True."""
-
-    def combine(a, b):
-        fa, va = a
-        fb, vb = b
-        return fa | fb, jnp.where(fb, vb, jnp.maximum(va, vb))
-
-    _, out = jax.lax.associative_scan(combine, (starts, vals))
+    """Segmented cumulative max over (N, D): reset where starts (N,) is
+    True. Log-step Hillis-Steele doubling, NOT jax.lax.associative_scan —
+    the latter's recursive slice/concat graph OOMs the TPU compiler in the
+    multi-million-row regime (CLAUDE.md dead end; 1080p is 2.1M rows here,
+    4K is 8.3M)."""
+    n = vals.shape[0]
+    out = vals
+    flag = starts
+    neg = jnp.asarray(-jnp.inf, vals.dtype)
+    shift = 1
+    while shift < n:
+        pv = jnp.concatenate(
+            [jnp.full((shift,) + vals.shape[1:], neg, vals.dtype),
+             out[:-shift]])
+        pf = jnp.concatenate([jnp.ones((shift,), bool), flag[:-shift]])
+        out = jnp.where(flag[:, None], out, jnp.maximum(out, pv))
+        flag = flag | pf
+        shift *= 2
     return out
 
 
@@ -124,14 +135,25 @@ def _lsd_impl(gray: jnp.ndarray, capacity: int, tau: float, mag_thr: float,
     # ------------------------------------- per-component sorted reduction
     n = H * W
     key = lab.reshape(-1)
-    pos = jnp.arange(n, dtype=jnp.int32)
     w = usable.reshape(-1).astype(jnp.float32)
+    # ROOT-CENTERED coordinates: every pixel of a component shares the same
+    # root raster index (its sort key), so dx = x - x_root is bounded by the
+    # propagation reach (~hundreds of px). Raw x*x sums at 1080p reach
+    # ~1e12, where differencing/cancellation leaves f32 variance estimates
+    # pure noise for late-raster segments [code-review r2]; centered moments
+    # keep every quantity within exact-f32 range.
+    x0 = (key % jnp.int32(W)).astype(jnp.float32)
+    y0 = (key // jnp.int32(W)).astype(jnp.float32)
+    dx = (xx.reshape(-1).astype(jnp.float32) - x0) * w
+    dy = (yy.reshape(-1).astype(jnp.float32) - y0) * w
+    dxr = xx.reshape(-1).astype(jnp.float32) - x0
+    dyr = yy.reshape(-1).astype(jnp.float32) - y0
     xf = xx.reshape(-1).astype(jnp.float32) * w
     yf = yy.reshape(-1).astype(jnp.float32) * w
     cols = (
         w,                       # count
-        xf, yf,                  # first moments
-        xf * xx.reshape(-1), yf * yy.reshape(-1), xf * yy.reshape(-1),
+        dx, dy,                  # centered first moments
+        dx * dxr, dy * dyr, dx * dyr,
         jnp.cos(2 * ang).reshape(-1) * w, jnp.sin(2 * ang).reshape(-1) * w,
     )
     mm = (
@@ -140,40 +162,48 @@ def _lsd_impl(gray: jnp.ndarray, capacity: int, tau: float, mag_thr: float,
         jnp.where(w > 0, -xf, -jnp.float32(n)),  # -min x
         jnp.where(w > 0, -yf, -jnp.float32(n)),  # -min y
     )
-    sorted_all = jax.lax.sort((key, pos) + cols + mm, num_keys=1)
+    sorted_all = jax.lax.sort((key,) + cols + mm, num_keys=1)
     skey = sorted_all[0]
-    spos = sorted_all[1]
-    scols = jnp.stack(sorted_all[2:2 + len(cols)], axis=1)
-    smm = jnp.stack(sorted_all[2 + len(cols):], axis=1)
+    scol_list = sorted_all[1:1 + len(cols)]
+    smm = jnp.stack(sorted_all[1 + len(cols):], axis=1)
 
     starts = jnp.concatenate([jnp.array([True]), skey[1:] != skey[:-1]])
     last = jnp.concatenate([skey[1:] != skey[:-1], jnp.array([True])])
-    csum = jnp.cumsum(scols, axis=0, dtype=jnp.float32)
-    cmax = _seg_scan_max(smm, starts[:, None] & jnp.ones_like(smm, bool))
+    # Segmented scans (reset per segment), not global cumsum + adjacent
+    # differences: the global prefix grows with the whole image and its ulp
+    # swamps small segments' sums (txr.ops.segment conventions).
+    seg = segmented_cumsum_cols(scol_list, starts)
+    csum = jnp.stack(seg, axis=1)
+    cmax = _seg_scan_max(smm, starts)
 
-    # Compact segment ends to the front (key order), like sorted_voxel_reduce.
-    order = jnp.where(last & (skey != _INT_MAX), spos * 0 + jnp.arange(n, dtype=jnp.int32), n)
-    _, perm = jax.lax.sort((order, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
-    # Only the first `n_keep` compacted rows can be real segments; cap the
-    # candidate set to bound the top-k cost.
+    # Compact segment ends to the front (key order), like
+    # sorted_voxel_reduce — but only ends whose component could pass the
+    # support gate: an unfiltered cap kept the first 64k components in
+    # ROOT-RASTER order and silently dropped real segments rooted low in
+    # the image once 1-pixel components exhausted the cap [code-review r2].
+    run_count = seg[0]           # per-row running count within the segment
+    qualifies = last & (skey != _INT_MAX) & (run_count >= min_count)
+    idx32 = jnp.arange(n, dtype=jnp.int32)
+    order = jnp.where(qualifies, idx32, n)
+    _, perm = jax.lax.sort((order, idx32), num_keys=1)
     n_keep = min(n, 65536)
     perm_c = perm[:n_keep]
     is_seg = order[perm_c] < n
 
-    ends = csum[perm_c]
-    prev = jnp.concatenate([jnp.zeros((1, ends.shape[1]), ends.dtype), ends[:-1]], 0)
-    # Adjacent-difference needs the previous SEGMENT's cumulative sum: rows of
-    # perm_c are segment-end positions in ascending order, so prev row works.
-    sums = jnp.where(is_seg[:, None], ends - prev, 0.0)
+    sums = jnp.where(is_seg[:, None], csum[perm_c], 0.0)
     mx = cmax[perm_c]  # segmented max holds per-segment extrema at end rows
+    kx0 = (skey[perm_c] % jnp.int32(W)).astype(jnp.float32)
+    ky0 = (skey[perm_c] // jnp.int32(W)).astype(jnp.float32)
 
     cnt = sums[:, 0]
     safe = jnp.maximum(cnt, 1.0)
-    cx = sums[:, 1] / safe
-    cy = sums[:, 2] / safe
-    vxx = sums[:, 3] / safe - cx * cx
-    vyy = sums[:, 4] / safe - cy * cy
-    vxy = sums[:, 5] / safe - cx * cy
+    edx = sums[:, 1] / safe
+    edy = sums[:, 2] / safe
+    cx = kx0 + edx
+    cy = ky0 + edy
+    vxx = sums[:, 3] / safe - edx * edx
+    vyy = sums[:, 4] / safe - edy * edy
+    vxy = sums[:, 5] / safe - edx * edy
     coher = jnp.sqrt(sums[:, 6] ** 2 + sums[:, 7] ** 2) / safe
 
     # principal axis of the 2x2 covariance (closed form)

@@ -36,7 +36,10 @@ def match_l2_ratio(
     mask2: jnp.ndarray,
     ratio: float = 0.75,
 ):
-    """Mutual-candidate ratio-test matching for float descriptors.
+    """One-directional Lowe ratio-test matching for float descriptors
+    (best desc2 candidate per desc1 row; NO cross-check, so several desc1
+    rows may map to the same desc2 index — exactly the reference's FLANN
+    knnMatch(k=2) + ratio semantics).
 
     Args:
       desc1: (N1, D), desc2: (N2, D) float32 descriptors (invalid rows

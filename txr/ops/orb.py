@@ -135,7 +135,12 @@ def _detect_level(img: jnp.ndarray, k_cand: int, fast_thr: float, border: int):
 def _orb_impl(gray: jnp.ndarray, capacity: int, n_levels: int,
               scale_factor: float, fast_thr: float) -> OrbFeatures:
     H, W = gray.shape
-    border = _HALF + 4
+    # Rotated BRIEF taps reach _HALF*sqrt(2) ~ 21.2 px from the keypoint
+    # (pattern coords are clipped to +/-15 PER AXIS, then rotated), so the
+    # detection border must cover the rotated reach + blur margin or border
+    # keypoints get clamp-corrupted descriptor bits [code-review r2].
+    # OpenCV's edgeThreshold=31 plays the same role.
+    border = int(math.ceil(_HALF * math.sqrt(2.0))) + 4
 
     # ------------------------------------------------------------- pyramid
     levels = [gray]
@@ -258,7 +263,9 @@ def orb_features(gray, capacity: int = 2048, n_levels: int = 8,
     else:
         gray = gray.astype(jnp.float32)
     n_levels = max(1, min(n_levels, int(
-        math.log(max(min(gray.shape) / (2.0 * (_HALF + 4) + 8), 1.001))
+        math.log(max(min(gray.shape)
+                     / (2.0 * (math.ceil(_HALF * math.sqrt(2.0)) + 4) + 8),
+                     1.001))
         / math.log(scale_factor)) + 1))
     return _orb_impl(gray, capacity, n_levels, float(scale_factor),
                      float(fast_threshold) / 255.0)

@@ -112,12 +112,19 @@ def remove_statistical_outliers_grid(
                                     k=nb_neighbors, per_cell=per_cell,
                                     chunk=chunk)
     m = points.mask
-    cnt = jnp.maximum(jnp.sum(m), 1)
-    capped = jnp.minimum(mean_d, 1.0e6)  # keep no-neighbor sentinels finite
-    mu = jnp.sum(jnp.where(m, capped, 0.0)) / cnt
-    var = jnp.sum(jnp.where(m, (capped - mu) ** 2, 0.0)) / cnt
+    # No-neighbor sentinels (grid_knn returns ~_BIG/2 for a valid point
+    # with an empty 27-cell window) are extreme outliers BY DEFINITION:
+    # they must be dropped unconditionally and EXCLUDED from the mu/sigma
+    # statistics — one sentinel inside the stats inflates sigma by ~1e5
+    # and the mu+k*sigma threshold then keeps every genuine outlier
+    # [code-review r2].
+    found = m & (mean_d < 1.0e6)
+    cnt = jnp.maximum(jnp.sum(found), 1)
+    d = jnp.where(found, mean_d, 0.0)
+    mu = jnp.sum(d) / cnt
+    var = jnp.sum(jnp.where(found, (d - mu) ** 2, 0.0)) / cnt
     thresh = mu + std_ratio * jnp.sqrt(var)
-    keep = m & (capped <= thresh)
+    keep = found & (mean_d <= thresh)
     return PointSet(
         xyz=jnp.where(keep[:, None], points.xyz, 0.0),
         rgb=jnp.where(keep[:, None], points.rgb, 0.0),

@@ -366,7 +366,12 @@ def _sift_impl(gray: jnp.ndarray, capacity: int, n_octaves: int,
     hr = jnp.take_along_axis(hist, ((pk + 1) % NB)[:, None], 1)[:, 0]
     denom = hl - 2 * hc + hr
     frac = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (hl - hr) / denom, 0.0)
-    theta = (pk.astype(jnp.float32) + 0.5 + jnp.clip(frac, -0.5, 0.5)) \
+    # Bin k's tent weight peaks at b == k exactly (no half-bin shift in the
+    # accumulation above), so the interpolated peak angle is (pk + frac);
+    # a former +0.5 here biased every keypoint angle by half a bin = 5 deg
+    # [code-review r2] — consistent internally, but wrong in the exported
+    # angle field and against real cv2 SIFT descriptors.
+    theta = (pk.astype(jnp.float32) + jnp.clip(frac, -0.5, 0.5)) \
         / NB * 2 * jnp.pi - jnp.pi  # radians, gradient-frame
 
     # --------------------------------------------------------- descriptor
