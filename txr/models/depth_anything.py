@@ -104,12 +104,11 @@ def build_model(version: str = "v2", encoder: str = "vitl", metric: bool = False
                 ) -> Tuple[DepthAnythingFlax, ViTConfig, DPTConfig]:
     """Construct the Flax model for a registry entry."""
     version = version.lower()
-    if encoder == "large":  # the reference's v3 alias
-        encoder = "vitl" if version == "v3" else encoder
-    cfg = MODEL_CONFIGS.get(version, {}).get(
-        "large" if version == "v3" and encoder == "vitl" else encoder)
-    if cfg is None:
-        cfg = MODEL_CONFIGS.get(version, {}).get(encoder)
+    # v3's registry keys its large model "large" (the reference alias);
+    # accept both spellings for it.
+    if version == "v3" and encoder == "vitl":
+        encoder = "large"
+    cfg = MODEL_CONFIGS.get(version, {}).get(encoder)
     if cfg is None:
         raise ValueError(f"Invalid version/encoder combination: {version}/{encoder}")
     from dataclasses import replace
@@ -186,7 +185,11 @@ class DepthAnythingModel:
 
     # -- compiled forward per (in_h, in_w, out_h, out_w) --------------------
 
-    def _forward_fn(self, in_h, in_w, out_h, out_w):
+    def _batched_forward_fn(self, in_h, in_w, out_h, out_w):
+        """ONE preprocess/forward/postprocess jit body for both the
+        single-frame and batched paths (leading batch axis; infer() adds
+        [None]/[0]) — a change to preprocessing must land in exactly one
+        place."""
         key = (in_h, in_w, out_h, out_w)
         if key not in self._jitted:
             model = self.model
@@ -197,11 +200,10 @@ class DepthAnythingModel:
                 x = resize_bicubic(x, in_h, in_w, align_corners=False)
                 mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
                 std = jnp.asarray(IMAGENET_STD, jnp.float32)
-                x = ((x - mean) / std)[None]
-                depth = model.apply({"params": params}, x)  # (1, in_h, in_w)
-                depth = resize_bilinear(depth[..., None], out_h, out_w,
-                                        align_corners=True)[0, ..., 0]
-                return depth
+                x = (x - mean) / std
+                depth = model.apply({"params": params}, x)  # (B, in_h, in_w)
+                return resize_bilinear(depth[..., None], out_h, out_w,
+                                       align_corners=True)[..., 0]
 
             self._jitted[key] = run
         return self._jitted[key]
@@ -212,7 +214,8 @@ class DepthAnythingModel:
         h, w = image.shape[:2]
         in_h, in_w = compute_da_resize(h, w, self.input_size)
         rgb = jnp.asarray(np.ascontiguousarray(image[..., ::-1]))
-        depth = self._forward_fn(in_h, in_w, h, w)(self.params, rgb)
+        depth = self._batched_forward_fn(in_h, in_w, h, w)(
+            self.params, rgb[None])[0]
         depth = np.asarray(depth, dtype=np.float32)
 
         # V3 focal-length scaling (reference depth_processor.py:306-309).
@@ -229,24 +232,10 @@ class DepthAnythingModel:
         (depth_enhanced_reconstruction.py:169-171)."""
         b, h, w = images.shape[:3]
         in_h, in_w = compute_da_resize(h, w, self.input_size)
-        key = ("batch", b, in_h, in_w, h, w)
-        if key not in self._jitted:
-            model = self.model
-
-            @jax.jit
-            def run(params, rgb_u8):
-                x = rgb_u8.astype(jnp.float32) / 255.0
-                x = resize_bicubic(x, in_h, in_w, align_corners=False)
-                mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
-                std = jnp.asarray(IMAGENET_STD, jnp.float32)
-                x = (x - mean) / std
-                depth = model.apply({"params": params}, x)
-                return resize_bilinear(depth[..., None], h, w,
-                                       align_corners=True)[..., 0]
-
-            self._jitted[key] = run
         rgb = jnp.asarray(np.ascontiguousarray(images[..., ::-1]))
-        depth = np.asarray(self._jitted[key](self.params, rgb), np.float32)
+        depth = np.asarray(
+            self._batched_forward_fn(in_h, in_w, h, w)(self.params, rgb),
+            np.float32)
         if self.version == "v3" and intrinsics is not None:
             depth = depth * ((intrinsics.fx + intrinsics.fy) / 2.0 / self.focal_length_ref)
         return depth

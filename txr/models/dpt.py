@@ -212,7 +212,6 @@ class DPTHead(nn.Module):
         c = self.cfg
         feats = []
         # Reassemble: drop cls, reshape to maps, project, resize per stage.
-        strides = [None] * len(hidden_states)
         for i, hs in enumerate(hidden_states):
             b = hs.shape[0]
             x = hs[:, 1:].reshape(b, ph, pw, hs.shape[-1])

@@ -96,11 +96,13 @@ class SwiGLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        D = _dense(self.quant)
-        x12 = D(2 * self.hidden, name="w12")(x)
+        x12 = _dense(self.quant)(2 * self.hidden, name="w12")(x)
         x1, x2 = jnp.split(x12, 2, axis=-1)
         x = nn.silu(x1) * x2
-        return D(self.out, name="w3")(x)
+        # w3 contracts the wide hidden dim — the fc2-analog shape where the
+        # int8mix policy's Pallas kernel wins (vitg K=4096); role='' sent it
+        # to the measured-slower XLA path [code-review r2].
+        return _dense(self.quant, "fc2")(self.out, name="w3")(x)
 
 
 class Attention(nn.Module):

@@ -29,6 +29,7 @@ from txr.fusion.offset_map import (NCOLS, OffsetVoxelMap,
                                    create_offset_map, offset_map_insert,
                                    offset_map_merge)
 from txr.ops.backproject import backproject_world
+from txr.ops.resize import IMAGENET_MEAN, IMAGENET_STD
 from txr.parallel.mesh import batch_sharding, param_shardings
 
 
@@ -47,40 +48,60 @@ def create_sharded_maps(mesh: Mesh, capacity: int,
     return OffsetVoxelMap(*[stack(l) for l in one[:NCOLS]], one.voxel_size)
 
 
+# Raw (__wrapped__) inner ops for composition INSIDE the jitted step:
+# calling the jitted wrappers in another trace captures Python-float args
+# as lifted device constants, the jax-0.9 C++ fastpath bug CLAUDE.md
+# documents ("Execution supplied N buffers but compiled program expected
+# N+1"); donation on the inner insert was a no-op under vmap anyway — the
+# OUTER jit donates vms.
+_backproject_raw = getattr(backproject_world, "__wrapped__",
+                           backproject_world)
+_insert_raw = getattr(offset_map_insert, "__wrapped__", offset_map_insert)
+
+
 def make_sharded_fusion_step(model, params, mesh: Mesh,
                              intrinsics: Tuple[float, float, float, float],
                              min_depth: float = 1e-4,
                              max_depth: float = 1e6):
-    """Build a jitted (params, frames, vms) -> vms step.
+    """Build a jitted (params, frames, Rs, ts, scales, vms) -> vms step.
 
-    frames: (B, H, W, 3) float in [0,1], B divisible by dp, sharded P("dp").
+    frames: (B, H, W, 3) float RGB in [0,1] at the model's operating size,
+    B divisible by dp, sharded P("dp"); ImageNet normalization happens
+    INSIDE the step (the model expects it — feeding raw frames shifted the
+    ViT's input distribution by sigmas [code-review r2]).
+    Rs/ts: (B, 3, 3)/(B, 3) per-frame world→camera poses and scales (B,) —
+    the single-chip pipelines estimate per-frame poses; a scale-out path
+    that hardcoded identity could only fuse a static camera.
     vms: (dp, C) stacked maps from create_sharded_maps. Depth runs batched
     (dp x tp), back-projection per frame, insert per dp shard.
     """
     dp = mesh.shape["dp"]
     fx, fy, cx, cy = intrinsics
-    eye = jnp.eye(3, dtype=jnp.float32)
-    zero_t = jnp.zeros(3, jnp.float32)
 
     p_shard = param_shardings(params, mesh)
     f_shard = batch_sharding(mesh)
+    b_shard = NamedSharding(mesh, P("dp"))
     vm_shard = OffsetVoxelMap(
         *([NamedSharding(mesh, P("dp"))] * NCOLS),
         NamedSharding(mesh, P()))
 
     @partial(jax.jit,
-             in_shardings=(p_shard, f_shard, vm_shard),
+             in_shardings=(p_shard, f_shard, b_shard, b_shard, b_shard,
+                           vm_shard),
              out_shardings=vm_shard,
-             donate_argnums=(2,))
-    def step(params, frames, vms):
-        depth = model.apply({"params": params}, frames).astype(jnp.float32)
+             donate_argnums=(5,))
+    def step(params, frames, Rs, ts, scales, vms):
+        mean = jnp.asarray(IMAGENET_MEAN, frames.dtype)
+        std = jnp.asarray(IMAGENET_STD, frames.dtype)
+        xn = (frames - mean) / std
+        depth = model.apply({"params": params}, xn).astype(jnp.float32)
 
-        def one(depth_i, rgb_i):
-            return backproject_world(depth_i, rgb_i, eye, zero_t,
-                                     fx, fy, cx, cy,
-                                     min_depth, max_depth, 1.0, 1)
+        def one(depth_i, rgb_i, Ri, ti, si):
+            return _backproject_raw(depth_i, rgb_i, Ri, ti,
+                                    fx, fy, cx, cy,
+                                    min_depth, max_depth, si, 1)
 
-        ps = jax.vmap(one)(depth, frames)
+        ps = jax.vmap(one)(depth, frames, Rs, ts, scales)
         b = ps.xyz.shape[0]
         n_per = (b // dp) * ps.xyz.shape[1]
 
@@ -93,7 +114,7 @@ def make_sharded_fusion_step(model, params, mesh: Mesh,
 
         def insert_one(vm_cols, pts):
             vm = OffsetVoxelMap(*vm_cols, vms.voxel_size)
-            out = offset_map_insert(vm, pts)
+            out = _insert_raw(vm, pts)
             return tuple(out[:NCOLS])
 
         new_cols = jax.vmap(insert_one)(tuple(vms[:NCOLS]), flat)

@@ -159,7 +159,7 @@ def build_fused_stream_step(model, intr, cfg, *, h: int, w: int,
     def step(params, state: FusedStreamState, bgr_u8: jnp.ndarray):
         rgb_u8 = bgr_u8[..., ::-1]
 
-        # ---- depth (DepthAnythingModel._forward_fn, device-composed) ------
+        # ---- depth (DepthAnythingModel._batched_forward_fn, device-composed)
         x = rgb_u8.astype(jnp.float32) / 255.0
         x = resize_bicubic(x, in_h, in_w, align_corners=False)
         mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)

@@ -48,8 +48,12 @@ def gradient_matching_loss(pred: jnp.ndarray, target: jnp.ndarray,
     dl = jnp.log(jnp.maximum(pred, eps)) - jnp.log(jnp.maximum(target, eps))
     gx = jnp.abs(dl[:, :, 1:] - dl[:, :, :-1])
     gy = jnp.abs(dl[:, 1:, :] - dl[:, :-1, :])
-    wx = (mask[:, :, 1:] & mask[:, :, :-1]).astype(pred.dtype)
-    wy = (mask[:, 1:, :] & mask[:, :-1, :]).astype(pred.dtype)
+    # bool cast first: silog_loss accepts float validity masks, and a float
+    # mask here would crash the bitwise & (the combined loss must accept
+    # whatever silog does)
+    mb = mask.astype(bool)
+    wx = (mb[:, :, 1:] & mb[:, :, :-1]).astype(pred.dtype)
+    wy = (mb[:, 1:, :] & mb[:, :-1, :]).astype(pred.dtype)
     return (jnp.sum(gx * wx) / jnp.maximum(jnp.sum(wx), 1.0)
             + jnp.sum(gy * wy) / jnp.maximum(jnp.sum(wy), 1.0))
 
@@ -101,21 +105,31 @@ def make_sharded_train_step(model: DepthAnythingFlax, optimizer, mesh,
     rep = replicated(mesh)
     step = make_train_step(model, optimizer, grad_weight)
 
-    opt_template = optimizer.init(params_template)
-    oshard = jax.tree_util.tree_map(
-        # optimizer state mirrors param shapes where it has them
-        lambda leaf: rep, opt_template)
+    # Optimizer-state shardings: Adam's mu/nu are full param pytrees and
+    # must carry the PARAM shardings — replicating them stores two extra
+    # full f32 moment copies per chip (defeating tp memory scaling) and
+    # conflicts with init_train_state, whose optimizer.init over sharded
+    # params makes moments inherit the param layout [code-review r2].
+    # The structure comes from eval_shape (no multi-GB materialization just
+    # for a pytree skeleton); any subtree structurally identical to the
+    # params gets pshard, everything else (step counts, empty states) is
+    # replicated.
+    p_struct = jax.tree_util.tree_structure(params_template)
 
-    def _opt_shard_tree(opt_state):
-        # Match param shardings for moment tensors, replicate scalars.
-        flat_p, treedef_p = jax.tree_util.tree_flatten(pshard)
+    def _shard_like(node):
+        if jax.tree_util.tree_structure(node) == p_struct:
+            return pshard
+        if isinstance(node, tuple) and hasattr(node, "_fields"):
+            return type(node)(*[_shard_like(c) for c in node])
+        if isinstance(node, (tuple, list)):
+            return type(node)(_shard_like(c) for c in node)
+        if isinstance(node, dict):
+            return {k: _shard_like(v) for k, v in node.items()}
+        return rep
 
-        def match(leaf):
-            return rep
-        return jax.tree_util.tree_map(match, opt_state)
-
+    opt_shapes = jax.eval_shape(optimizer.init, params_template)
     state_shardings = TrainState(params=pshard,
-                                 opt_state=_opt_shard_tree(opt_template),
+                                 opt_state=_shard_like(opt_shapes),
                                  step=rep)
     jitted = jax.jit(
         step,
