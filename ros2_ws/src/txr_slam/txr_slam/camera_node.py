@@ -40,6 +40,7 @@ class CameraNode(Node):
         self.total_frames = 0
         self.frame_idx = 0
         self.direction = 1
+        self._video_fails = 0
         self._open()
 
         rate = float(self.get_parameter("framerate").value)
@@ -54,6 +55,7 @@ class CameraNode(Node):
             self.total_frames = int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT))
             self.frame_idx = 0
             self.direction = 1
+            self._video_fails = 0
         else:
             self.get_logger().info(f"Opening camera {self.device_id}")
             self.cap = cv2.VideoCapture(self.device_id)
@@ -68,15 +70,25 @@ class CameraNode(Node):
         self.cap.set(cv2.CAP_PROP_POS_FRAMES, self.frame_idx)
         ok, frame = self.cap.read()
         if ok:
+            self._video_fails = 0
             self.frame_idx += self.direction
             if self.frame_idx >= self.total_frames - 1:
                 self.direction = -1
             elif self.frame_idx <= 0:
                 self.direction = 1
         else:
-            # Read failure near an end: reverse and step back in.
+            # Read failure near an end: reverse and step back in. If reads
+            # keep failing in both directions (1-frame file, over-reported
+            # CAP_PROP_FRAME_COUNT), reopen the file instead of oscillating
+            # between two bad indices forever.
+            self._video_fails += 1
+            if self._video_fails >= 10:
+                self.get_logger().warning("Video reads failing; reopening")
+                self._open()
+                return False, None
             self.direction *= -1
-            self.frame_idx += self.direction
+            self.frame_idx = min(max(self.frame_idx + self.direction, 0),
+                                 max(self.total_frames - 1, 0))
         return ok, frame
 
     def _tick(self):

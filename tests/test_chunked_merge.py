@@ -176,7 +176,12 @@ class TestPipelineChunkedPath:
             len(pts_a), len(pts_b))
         sub = pts_b[:: max(1, len(pts_b) // 500)]
         d = np.sqrt(((sub[:, None, :] - pts_a[None, :, :]) ** 2).sum(-1))
-        assert float(d.min(axis=1).max()) < 0.05  # voxel_size
+        dmin = d.min(axis=1)
+        # Bulk of the surface within a voxel of the other run; the auto-tuned
+        # outlier threshold may keep/drop a few isolated borderline points
+        # differently between the two float orders (surfaces, not counts).
+        assert float(np.quantile(dmin, 0.99)) < 0.05  # voxel_size
+        assert int((dmin >= 0.05).sum()) <= 3, dmin[dmin >= 0.05]
 
     def test_enhanced_pipeline_chunked_runs(self, tmp_path, rng, monkeypatch):
         """Enhanced CLI on the chunked path (sparse extra rows included)."""
@@ -300,3 +305,26 @@ class TestSequenceChunking:
         assert ra is not None and rb is not None
         assert len(ra[0]) == len(rb[0])
         np.testing.assert_allclose(ra[0], rb[0], atol=1e-6)
+
+
+class TestListInputs:
+    def test_list_input_with_none_views(self, rng):
+        """Per-view lists (None for skipped views) must merge identically to
+        the stacked-array input (review r2: O(chunk) host slabs)."""
+        depths, bgrs, Rs, ts, scales, keep, intr = _scene(rng)
+        fx, fy, cx, cy = intr
+        voxel = 0.12
+        dlist = [depths[i] if keep[i] else None for i in range(len(depths))]
+        ilist = [bgrs[i] if keep[i] else None for i in range(len(bgrs))]
+        got, counts = chunked_dense_voxel_merge(
+            dlist, ilist, Rs, ts, scales, keep,
+            fx=fx, fy=fy, cx=cx, cy=cy, min_depth=0.1, max_depth=50.0,
+            subsample=1, voxel_size=voxel, chunk_views=2)
+        flat = _oracle_flat(depths, bgrs, Rs, ts, scales, keep, intr)
+        exp = voxel_downsample(flat, voxel)
+        gx, gc = got.to_numpy()
+        ex, ec = exp.to_numpy()
+        assert gx.shape == ex.shape
+        np.testing.assert_allclose(gx, ex, atol=2e-3)
+        np.testing.assert_allclose(gc, ec, atol=2e-3)
+        assert counts[3] == 0 and (counts[:3] > 0).all()

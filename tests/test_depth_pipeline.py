@@ -132,3 +132,57 @@ class TestPointCloudGenerator:
         # Center pixel maps near the optical axis.
         center = pts[24 * 64 + 32]
         np.testing.assert_allclose(center[:2], [0, 0], atol=0.05)
+
+
+class _FlakyCap:
+    """cv2.VideoCapture stand-in that fails reads at given frame indices."""
+
+    def __init__(self, cap, bad):
+        self._cap, self._bad, self._pos = cap, set(bad), 0
+
+    def set(self, prop, val):
+        self._pos = int(val)
+        return self._cap.set(prop, val)
+
+    def read(self):
+        if self._pos in self._bad:
+            return False, None
+        return self._cap.read()
+
+    def release(self):
+        self._cap.release()
+
+
+class TestVideoSourceBadFrames:
+    def test_bad_frame_skipped_not_truncated(self, tmp_path):
+        """An undecodable frame mid-video is skipped and the remainder still
+        plays (reference depth_processor.py:641-651 semantics; review r2)."""
+        from txr.io.sources import VideoSource
+
+        vid = str(tmp_path / "in.avi")
+        vw = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"MJPG"), 10,
+                             (64, 48))
+        rng = np.random.default_rng(1)
+        for _ in range(5):
+            vw.write(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8))
+        vw.release()
+        src = VideoSource(vid, fps_mode="all")
+        src.cap = _FlakyCap(src.cap, bad=[2])
+        names = [name for _, _, name in src]
+        assert names == [f"frame_{i:06d}" for i in (0, 1, 3, 4)]
+
+
+class TestFolderSourceNoCv2:
+    def test_folder_source_without_cv2(self, frame_folder, monkeypatch):
+        """FolderSource must construct and serve JPEG frames via the native
+        decoder when cv2 is absent (review r2)."""
+        import txr.io.sources as S
+        from txr._native import get_lib
+
+        if get_lib() is None:
+            pytest.skip("no native toolchain")
+        monkeypatch.setattr(S, "cv2", None)
+        monkeypatch.setattr(S, "CV2_AVAILABLE", False)
+        src = S.FolderSource(frame_folder)
+        img, _, _ = next(src)
+        assert img is not None and img.shape == (48, 64, 3)

@@ -286,3 +286,24 @@ class TestEnhancedWithBA:
         for R, t in poses:
             np.testing.assert_allclose(np.asarray(R) @ np.asarray(R).T,
                                        np.eye(3), atol=1e-4)
+
+
+class TestMatchCapacityOverflow:
+    def test_match_pair_over_capacity(self, monkeypatch, rng):
+        """More raw matches than MATCH_CAPACITY must truncate to the RANSAC
+        capacity, not crash on a boolean-index shape mismatch (review r2)."""
+        from txr.pipelines.enhanced_pipeline import (DepthEnhancedReconstruction,
+                                                     MATCH_CAPACITY)
+
+        K = np.array([[100.0, 0, 64], [0, 100.0, 48], [0, 0, 1.0]])
+        rec = DepthEnhancedReconstruction(K, use_depth=False,
+                                          use_hybrid_features=False,
+                                          verbose=False)
+        n = MATCH_CAPACITY + 1000
+        pts1 = rng.uniform(0, 128, (n, 2)).astype(np.float32)
+        pts2 = pts1 + np.float32([2.0, 0.0])  # pure-translation pairs
+        monkeypatch.setattr(rec, "_match_pair_host",
+                            lambda i, j: (pts1, pts2))
+        a, b = rec.match_image_pair(0, 1)
+        assert len(a) == len(b) <= MATCH_CAPACITY
+        assert len(a) > 0

@@ -61,11 +61,11 @@ class TestNativePLY:
 @needs_native
 class TestNativePack:
     def test_pack_matches_numpy(self, rng):
-        from txr.ros2.publisher import pack_pointcloud2_data
+        from txr.ros2.publisher import pack_pointcloud2_numpy
         xyz = rng.normal(size=(100, 3)).astype(np.float32)
         rgb = rng.uniform(0, 1, (100, 3)).astype(np.float32)
         got = native_pack_xyzrgb(xyz, rgb)
-        exp = pack_pointcloud2_data(xyz, rgb)
+        exp = pack_pointcloud2_numpy(xyz, rgb)
         assert got == exp
 
     def test_pack_no_color(self, rng):

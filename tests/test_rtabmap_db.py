@@ -119,3 +119,35 @@ class TestDBSource:
         conn.close()
         with pytest.raises(ValueError):
             RTABMapDBSource(str(db))
+
+
+class TestDegenerateDBs:
+    def test_all_corrupt_blobs_stop(self, tmp_path):
+        """loop=True over a DB whose every image blob fails to decode must
+        raise StopIteration after one full pass, not busy-spin (review r2)."""
+        db = tmp_path / "bad.db"
+        conn = sqlite3.connect(db)
+        cur = conn.cursor()
+        cur.execute("CREATE TABLE Node (id INTEGER PRIMARY KEY, pose BLOB, "
+                    "stamp REAL)")
+        cur.execute("CREATE TABLE Data (id INTEGER PRIMARY KEY, image BLOB, "
+                    "depth BLOB, calibration BLOB)")
+        for i in range(1, 4):
+            cur.execute("INSERT INTO Node (id, stamp) VALUES (?, ?)",
+                        (i, i * 0.1))
+            cur.execute("INSERT INTO Data (id, image) VALUES (?, ?)",
+                        (i, b"not a jpeg"))
+        conn.commit()
+        conn.close()
+        src = RTABMapDBSource(str(db), loop=True)
+        with pytest.raises(StopIteration):
+            next(src)
+
+    def test_prefetch_wraps_db_source(self, rtabmap_db):
+        """PrefetchSource iterates the DB on a worker thread; the sqlite
+        connection must allow cross-thread use (review r2)."""
+        from txr.io.sources import PrefetchSource
+
+        src = PrefetchSource(RTABMapDBSource(rtabmap_db))
+        frames = list(src)
+        assert len(frames) == 5

@@ -82,10 +82,19 @@ class PointSet:
     # -- host-boundary compaction -------------------------------------------
 
     def to_numpy(self):
-        """Compact to dense (n, 3) float arrays on host. Not jittable."""
+        """Compact to dense (n, 3) float arrays on host. Not jittable.
+        Uses the C++ compactor (txr._native.txr_compact_points) when a
+        toolchain is available; numpy boolean indexing otherwise (byte
+        parity pinned in tests/test_native.py)."""
         xyz = np.asarray(self.xyz)
         rgb = np.asarray(self.rgb)
         mask = np.asarray(self.mask)
+        if xyz.dtype == np.float32 and rgb.dtype == np.float32:
+            from txr._native import native_compact
+
+            out = native_compact(xyz, rgb, mask)
+            if out is not None:
+                return out
         return xyz[mask], rgb[mask]
 
     def __repr__(self):

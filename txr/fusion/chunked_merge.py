@@ -91,8 +91,8 @@ def _pow2(n: int, lo: int = 1) -> int:
 
 
 def chunked_dense_voxel_merge(
-    depths: np.ndarray,
-    bgrs: np.ndarray,
+    depths,
+    bgrs,
     Rs: np.ndarray,
     ts: np.ndarray,
     scales: np.ndarray,
@@ -104,42 +104,76 @@ def chunked_dense_voxel_merge(
     chunk_views: int = 8,
     extra: Optional[PointSet] = None,
 ) -> Tuple[PointSet, np.ndarray]:
-    """Host-orchestrated chunked merge over (N, H, W[, 3]) host arrays.
+    """Host-orchestrated chunked merge.
+
+    `depths`/`bgrs` may be stacked (N, H, W[, 3]) arrays OR per-view
+    sequences of mixed-shape arrays (None entries allowed for skipped
+    views) — the padded (chunk, Hmax, Wmax) slab is built per chunk, so
+    HOST memory is O(chunk) too, not a second O(views) padded copy of
+    data the pipeline already holds. Each chunk is staged once per pass
+    (twice total): re-staging costs H2D bandwidth but keeps device
+    residency at a single chunk, which is the contract that makes long
+    sequences fit.
 
     Returns (merged per-voxel means as a device PointSet, per-view point
     counts (N,) int32). `extra` (e.g. sparse SfM points) joins the final
     reduce as weight-1 rows, matching the single-program path's
     concatenate-then-downsample semantics (enhanced_pipeline.py).
     """
-    n = depths.shape[0]
+    n = len(depths)
     c = max(1, min(int(chunk_views), n))
     pass_a, pass_b = _chunk_fns(float(fx), float(fy), float(cx), float(cy),
                                 float(min_depth), float(max_depth),
                                 int(subsample), float(voxel_size))
 
-    # Stage each chunk once; run both passes on the same device buffers.
+    shapes = [d.shape for d in depths if d is not None]
+    if not shapes:
+        shapes = [(1, 1)]
+    hmax = max(s[0] for s in shapes)
+    wmax = max(s[1] for s in shapes)
+    Rs_a = np.asarray(Rs, np.float32)
+    ts_a = np.asarray(ts, np.float32)
+    scales_a = np.asarray(scales, np.float32)
+    keep_a = np.asarray(keep, bool)
+
     n_pad = int(np.ceil(n / c)) * c
-    def chunk_args(s):
+
+    def pad_small(a, s):
         e = min(s + c, n)
-        pad = s + c - e
-        def pad0(a):
-            if pad == 0:
-                return a[s:e]
-            return np.concatenate([a[s:e], np.zeros((pad,) + a.shape[1:],
-                                                    a.dtype)])
-        return (jax.device_put(pad0(depths)), jax.device_put(pad0(bgrs)),
-                jax.device_put(pad0(Rs)), jax.device_put(pad0(ts)),
-                jax.device_put(pad0(scales)),
-                jax.device_put(pad0(keep.astype(bool))))
+        out = a[s:e]
+        if s + c > e:
+            out = np.concatenate(
+                [out, np.zeros((s + c - e,) + a.shape[1:], a.dtype)])
+        return out
+
+    def stage(s):
+        e = min(s + c, n)
+        dep = np.zeros((c, hmax, wmax), np.float32)
+        bgr = np.zeros((c, hmax, wmax, 3), np.uint8)
+        for k in range(s, e):
+            d = depths[k]
+            if d is None:
+                continue
+            dep[k - s, :d.shape[0], :d.shape[1]] = d
+            im = bgrs[k]
+            if im is not None:
+                if im.ndim == 2:
+                    im = im[:, :, None]
+                ih, iw = min(im.shape[0], hmax), min(im.shape[1], wmax)
+                bgr[k - s, :ih, :iw] = im[:ih, :iw]
+        return (jax.device_put(dep), jax.device_put(bgr),
+                jax.device_put(pad_small(Rs_a, s)),
+                jax.device_put(pad_small(ts_a, s)),
+                jax.device_put(pad_small(scales_a, s)),
+                jax.device_put(pad_small(keep_a, s)))
 
     starts = list(range(0, n_pad, c))
     mins = []
-    staged = []
     for s in starts:
-        args = chunk_args(s)
-        staged.append(args)
-        mins.append(pass_a(*args))
-    origin = np.min(np.stack([np.asarray(m) for m in mins]), axis=0)
+        args = stage(s)
+        mins.append(np.asarray(pass_a(*args)))  # sync frees the chunk
+        del args
+    origin = np.min(np.stack(mins), axis=0)
     if extra is not None:
         exyz = np.asarray(extra.xyz, np.float32)
         emask = np.asarray(extra.mask, bool)
@@ -150,9 +184,10 @@ def chunked_dense_voxel_merge(
     key_rows = []
     sum_rows = []
     counts = np.zeros(n_pad, np.int32)
-    for i, s in enumerate(starts):
-        keys, sums, n_vox, cnts = pass_b(*staged[i], origin_d)
-        staged[i] = None  # free the chunk's device buffers
+    for s in starts:
+        args = stage(s)  # re-staged: device residency stays O(chunk)
+        keys, sums, n_vox, cnts = pass_b(*args, origin_d)
+        del args
         bucket = _pow2(int(n_vox))
         key_rows.append(np.asarray(_take_front(keys, bucket)))
         sum_rows.append(np.asarray(_take_front(sums, bucket)))

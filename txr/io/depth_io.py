@@ -89,9 +89,12 @@ def save_depth_npy(path: str, depth: np.ndarray) -> None:
 
 
 def save_depth_png16(path: str, depth: np.ndarray) -> None:
-    """16-bit millimeter PNG: depth_m * 1000 → uint16 (reference :917-921)."""
-    mm = np.clip(depth.astype(np.float64) * 1000.0, 0, 65535).astype(np.uint16)
-    cv2.imwrite(path, mm)
+    """16-bit millimeter PNG: (depth_m * 1000).astype(uint16) — the
+    reference's exact cast (reference :917-921), kept for byte parity with
+    its artifacts (tests/test_reference_parity.py pins equality). Note the
+    cast WRAPS above 65.535 m, as the reference's does; scenes are clamped
+    to max_depth (≤ 50 m default) well before this point."""
+    cv2.imwrite(path, (depth * 1000).astype(np.uint16))
 
 
 def depth_to_colormap(depth: np.ndarray, colormap: int | str = "jet") -> np.ndarray:

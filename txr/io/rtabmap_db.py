@@ -49,7 +49,9 @@ class RTABMapDBSource(ImageSource):
 
     def __init__(self, db_path: str, loop: bool = False,
                  framerate: float = 30.0):
-        self.conn = sqlite3.connect(db_path)
+        # check_same_thread=False: PrefetchSource iterates sources on a
+        # worker thread; access is single-consumer, so no lock is needed.
+        self.conn = sqlite3.connect(db_path, check_same_thread=False)
         self.cursor = self.conn.cursor()
         self.loop = loop
         self.framerate = framerate
@@ -75,7 +77,10 @@ class RTABMapDBSource(ImageSource):
         return len(self.ids)
 
     def __next__(self) -> Frame:
-        while True:
+        # Bound one call to a single pass over the id list so a DB whose
+        # every blob fails to decode stops (or, when looping, raises) instead
+        # of busy-spinning forever inside a replay timer.
+        for _ in range(len(self.ids) + 1):
             if self.index >= len(self.ids):
                 if self.loop:
                     self.index = 0
@@ -98,6 +103,7 @@ class RTABMapDBSource(ImageSource):
                 self.intrinsics = self.intrinsics.scaled(w, h)
             ts = (self.index - 1) / self.framerate
             return img, ts, f"node_{node_id:06d}"
+        raise StopIteration  # full pass, nothing decodable
 
     def close(self):
         self.conn.close()

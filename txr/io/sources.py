@@ -86,7 +86,7 @@ class FolderSource(ImageSource):
         if intrinsics_path:
             self.intrinsics = CameraIntrinsics.from_json(intrinsics_path)
         else:
-            first = cv2.imread(self.files[0])
+            first = _read_image(self.files[0])
             if first is not None:
                 h, w = first.shape[:2]
                 self.intrinsics = CameraIntrinsics.default(w, h)
@@ -140,16 +140,17 @@ class VideoSource(ImageSource):
             self.intrinsics = CameraIntrinsics.default(w or 640, h or 480)
 
     def __next__(self) -> Frame:
-        if self.frame_index >= self.total:
-            raise StopIteration
-        self.cap.set(cv2.CAP_PROP_POS_FRAMES, self.frame_index)
-        ok, img = self.cap.read()
-        if not ok or img is None:
-            raise StopIteration
-        ts = self.frame_index / self.fps
-        name = f"frame_{self.frame_index:06d}"
-        self.frame_index += self.skip
-        return img, ts, name
+        # Skip unreadable frames and keep going, like the reference
+        # (depth_processor.py:641-651); bounded by the frame count.
+        while self.frame_index < self.total:
+            self.cap.set(cv2.CAP_PROP_POS_FRAMES, self.frame_index)
+            ok, img = self.cap.read()
+            idx = self.frame_index
+            self.frame_index += self.skip
+            if not ok or img is None:
+                continue
+            return img, idx / self.fps, f"frame_{idx:06d}"
+        raise StopIteration
 
     def close(self) -> None:
         self.cap.release()

@@ -319,12 +319,15 @@ class DepthProcessor:
         return cv2.applyColorMap((norm * 255).astype(np.uint8), self.colormap)
 
     def _save_depth(self, depth: np.ndarray, identifier: str):
+        from txr.io.depth_io import save_depth_npy, save_depth_png16
+
         if self.save_raw_depth:
-            np.save(self.depth_dir / f"{identifier}_depth.npy", depth)
+            save_depth_npy(str(self.depth_dir / f"{identifier}_depth.npy"),
+                           depth)
         cv2.imwrite(str(self.vis_dir / f"{identifier}_depth_vis.png"),
                     self._vis_image(depth))
-        depth_mm = (depth * 1000).astype(np.uint16)
-        cv2.imwrite(str(self.depth_dir / f"{identifier}_depth.png"), depth_mm)
+        save_depth_png16(str(self.depth_dir / f"{identifier}_depth.png"),
+                         depth)
 
     def _save_pointcloud(self, points, colors, identifier: str):
         if points is None or len(points) == 0:

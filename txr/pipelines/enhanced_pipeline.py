@@ -227,11 +227,13 @@ class DepthEnhancedReconstruction:
         pts1, pts2 = self._match_pair_host(i, j)
         if len(pts1) < 8:
             return pts1, pts2
+        if len(pts1) > MATCH_CAPACITY:  # fixed-capacity RANSAC contract
+            pts1, pts2 = pts1[:MATCH_CAPACITY], pts2[:MATCH_CAPACITY]
         a, b, m = _pad_matches(pts1, pts2)
         F, inliers = fundamental_ransac(a, b, m, self._next_key(), threshold=3.0)
         inl = np.asarray(inliers)[: len(pts1)]
         self._log(f"  RANSAC-F inliers: {int(inl.sum())}/{len(pts1)}")
-        return pts1[inl[: len(pts1)]], pts2[inl[: len(pts1)]]
+        return pts1[inl], pts2[inl]
 
     def _match_pair_host(self, i: int, j: int):
         """Host part of pair matching: hybrid match + depth filter."""
@@ -491,8 +493,11 @@ class DepthEnhancedReconstruction:
             h = max(im.shape[0] for im in self.images)
             w = max(im.shape[1] for im in self.images)
             nv = _pad_pow2(n)
-            depths_v = np.zeros((nv, h, w), np.float32)
-            bgrs_v = np.zeros((nv, h, w, 3), np.uint8)
+            # Per-view lists; the padded stack is built only on the
+            # single-program path (the chunked path builds per-chunk slabs
+            # so host memory stays O(chunk), see chunked_merge.py).
+            depth_list = [None] * nv
+            img_list = [None] * nv
             Rs = np.tile(np.eye(3, dtype=np.float32), (nv, 1, 1))
             ts = np.zeros((nv, 3), np.float32)
             sc = np.ones((nv,), np.float32)
@@ -500,9 +505,8 @@ class DepthEnhancedReconstruction:
             for i, pose_idx in pose_of_image.items():
                 if self.depths[i] is None:
                     continue
-                d, im = self.depths[i], self.images[i]
-                depths_v[i, :d.shape[0], :d.shape[1]] = d
-                bgrs_v[i, :im.shape[0], :im.shape[1]] = im
+                depth_list[i] = self.depths[i]
+                img_list[i] = self.images[i]
                 Rs[i], ts[i] = self.camera_poses[pose_idx]
                 sc[i] = view_scales.get(i, scale)
                 keep[i] = True
@@ -519,6 +523,14 @@ class DepthEnhancedReconstruction:
             single_rows = int(os.environ.get("TXR_DENSE_SINGLE_ROWS",
                                              str(1 << 24)))
             if nv * rows_per_view <= single_rows:
+                depths_v = np.zeros((nv, h, w), np.float32)
+                bgrs_v = np.zeros((nv, h, w, 3), np.uint8)
+                for i in range(nv):
+                    if depth_list[i] is None:
+                        continue
+                    d, im = depth_list[i], img_list[i]
+                    depths_v[i, :d.shape[0], :d.shape[1]] = d
+                    bgrs_v[i, :im.shape[0], :im.shape[1]] = im
                 dense_merge = _enh_dense_merge_fn(
                     float(fx), float(fy), float(cx), float(cy),
                     ss, float(self.voxel_size))
@@ -538,7 +550,7 @@ class DepthEnhancedReconstruction:
                 chunk_views = max(1, _pad_pow2(max(1, single_rows // 2
                                                    // rows_per_view)) // 2)
                 merged, counts = chunked_dense_voxel_merge(
-                    depths_v, bgrs_v, Rs, ts, sc, keep,
+                    depth_list, img_list, Rs, ts, sc, keep,
                     fx=fx, fy=fy, cx=cx, cy=cy,
                     min_depth=0.1, max_depth=100.0,
                     subsample=ss, voxel_size=float(self.voxel_size),

@@ -192,7 +192,9 @@ def _pairs_batch(desc, fmask, fuv, K, keys, match_ratio, ransac_threshold,
     def one(d1, m1, u1, d2, m2, u2, key):
         idx2, ok = match_l2_ratio(d1, d2, m1, m2, match_ratio)
         uv2 = u2[idx2]
-        R, t, X, valid, n_inl = pair_step(
+        # _raw: compose the unjitted body so pair_step's Python-float
+        # default (max_reproj) stays a jaxpr literal (see _raw above).
+        R, t, X, valid, n_inl = _raw(pair_step)(
             u1, uv2, ok, K, key, ransac_threshold, min_depth, max_depth,
             num_hypotheses=num_hypotheses)
         return R, t, X, valid, n_inl, jnp.sum(ok), u1, uv2, ok
@@ -412,11 +414,19 @@ class DepthToReconstructionPipeline:
         # Pad to the max frame shape — folders may mix resolutions (matched
         # uv never lands in the pad; padded depth reads 0 and masks out
         # downstream, mirroring the per-frame reference loop's tolerance).
+        # Padded slabs are built on demand from self.depths so the chunked
+        # long-sequence paths never hold a second O(views) host copy.
         h = max(d.shape[0] for d in self.depths)
         w = max(d.shape[1] for d in self.depths)
-        depths = np.zeros((n2, h, w), np.float32)
-        for i, d in enumerate(self.depths):
-            depths[i, :d.shape[0], :d.shape[1]] = d
+
+        def dslab(s, e):
+            out = np.zeros((e - s, h, w), np.float32)
+            for k in range(s, min(e, n)):
+                d = self.depths[k]
+                out[k - s, :d.shape[0], :d.shape[1]] = d
+            return out
+
+        depths_full = None  # (n2, h, w) stack, built only where needed
 
         # One key per pair, in pair order. On sequences where every pair
         # reaches RANSAC this is the exact key stream the frame-sequential
@@ -514,8 +524,9 @@ class DepthToReconstructionPipeline:
 
         # ---- program 2: all scale estimates --------------------------------
         if pair_chunks is None:
+            depths_full = dslab(0, n2)
             s1_d, s2_d, n_valid0_d, sw_d, okn_d = _scales_batch(
-                X, valid, uv1b, uv2b, jnp.asarray(depths),
+                X, valid, uv1b, uv2b, jnp.asarray(depths_full),
                 jnp.asarray(R_prev), jnp.asarray(t_prev))
             s1c, s2c, n_valid0, sw_h, okn_h = jax.device_get(
                 (clamp_scale(s1_d), clamp_scale(s2_d), n_valid0_d,
@@ -525,10 +536,11 @@ class DepthToReconstructionPipeline:
             # O(views) device allocation (8.3 MB/view f32 at 1080p).
             cp = seq_chunk
             X0, valid0_0, uv2_0 = pair_chunks[0]
+            d01 = dslab(0, 2)
             s1_d, s2_d, nv0 = _scales_init(
                 jnp.asarray(X0[0]), jnp.asarray(valid0_0[0]),
                 jnp.asarray(uv1_0), jnp.asarray(uv2_0[0]),
-                jnp.asarray(depths[0]), jnp.asarray(depths[1]))
+                jnp.asarray(d01[0]), jnp.asarray(d01[1]))
             sw_l, okn_l = [], []
             for ci, s in enumerate(range(0, p2, cp)):
                 Xc, vc, u2c = pair_chunks[ci]
@@ -536,7 +548,7 @@ class DepthToReconstructionPipeline:
                     jnp.asarray(Xc), jnp.asarray(vc), jnp.asarray(u2c),
                     jnp.asarray(R_prev[s:s + cp]),
                     jnp.asarray(t_prev[s:s + cp]),
-                    jnp.asarray(depths[s + 1:s + cp + 1]))
+                    jnp.asarray(dslab(s + 1, s + cp + 1)))
                 a, b = jax.device_get((swc, oknc))
                 sw_l.append(a)
                 okn_l.append(b)
@@ -581,35 +593,41 @@ class DepthToReconstructionPipeline:
             pose_idx += 1
 
         # ---- program 3: dense clouds + device merge ------------------------
-        bgrs = np.zeros((n2, h, w, 3), np.uint8)
-        for i, im in enumerate(self.images):
-            bgrs[i, :im.shape[0], :im.shape[1]] = im
         ss = int(cfg.subsample_factor)
         rows_per_view = -(-h // ss) * -(-w // ss)
         single_rows = int(os.environ.get("TXR_DENSE_SINGLE_ROWS",
                                          str(1 << 24)))
         if n2 * rows_per_view <= single_rows:
+            if depths_full is None:
+                depths_full = dslab(0, n2)
+            bgrs = np.zeros((n2, h, w, 3), np.uint8)
+            for i, im in enumerate(self.images):
+                bgrs[i, :im.shape[0], :im.shape[1]] = im
             dense_merge = _dense_merge_batch_fn(
                 float(cfg.fx), float(cfg.fy), float(cfg.cx), float(cfg.cy),
                 float(cfg.min_depth), float(cfg.max_depth),
                 float(cfg.voxel_size), float(cfg.outlier_std_ratio),
                 ss, int(cfg.outlier_neighbors))
             merged, counts_d = dense_merge(
-                jnp.asarray(depths), jnp.asarray(bgrs), jnp.asarray(view_R),
-                jnp.asarray(view_t), jnp.asarray(view_scale),
-                jnp.asarray(keep))
+                jnp.asarray(depths_full), jnp.asarray(bgrs),
+                jnp.asarray(view_R), jnp.asarray(view_t),
+                jnp.asarray(view_scale), jnp.asarray(keep))
             counts = np.asarray(counts_d)
         else:
             # Long sequences: one program over every view would stage
             # O(views) device memory and a sort far past the measured
             # envelope; chunk the views with an exact weighted merge
             # (txr/fusion/chunked_merge.py), then the same outlier pass.
+            # Per-view lists (not padded stacks) keep host memory O(chunk).
             from txr.fusion.chunked_merge import chunked_dense_voxel_merge
 
+            depths_full = None  # drop any stack before the chunked walk
+            depth_list = list(self.depths) + [None] * (n2 - n)
+            img_list = list(self.images) + [None] * (n2 - n)
             chunk_views = max(1, _pad_pow2(max(1, single_rows // 2
                                                // rows_per_view)) // 2)
             merged, counts = chunked_dense_voxel_merge(
-                depths, bgrs, view_R, view_t, view_scale, keep,
+                depth_list, img_list, view_R, view_t, view_scale, keep,
                 fx=cfg.fx, fy=cfg.fy, cx=cfg.cx, cy=cfg.cy,
                 min_depth=cfg.min_depth, max_depth=cfg.max_depth,
                 subsample=ss, voxel_size=float(cfg.voxel_size),

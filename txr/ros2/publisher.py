@@ -43,7 +43,22 @@ def _stamp(ts: float):
 
 
 def pack_pointcloud2_data(points: np.ndarray, colors: Optional[np.ndarray]) -> bytes:
-    """Vectorized XYZRGB packing: float32 x,y,z + packed-float rgb."""
+    """XYZRGB packing: float32 x,y,z + packed-float rgb. C++ fast path
+    (txr._native.txr_pack_xyzrgb) when a toolchain is available; the numpy
+    fallback is byte-identical (parity pinned in tests/test_native.py)."""
+    from txr._native import native_pack_xyzrgb
+
+    c = colors
+    if c is not None and c.dtype == np.uint8:
+        c = c.astype(np.float32) / 255.0  # native rounds back to the same byte
+    packed = native_pack_xyzrgb(np.asarray(points, np.float32), c)
+    if packed is not None:
+        return packed
+    return pack_pointcloud2_numpy(points, colors)
+
+
+def pack_pointcloud2_numpy(points: np.ndarray, colors: Optional[np.ndarray]) -> bytes:
+    """Vectorized numpy XYZRGB packing (the native path's parity oracle)."""
     n = len(points)
     if colors is not None:
         c = colors
