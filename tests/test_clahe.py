@@ -44,3 +44,25 @@ class TestCLAHE:
         img = rng.integers(0, 255, (160, 240), dtype=np.uint8)
         out = np.asarray(clahe(jnp.asarray(img)))
         assert out.shape == img.shape and out.dtype == np.uint8
+
+
+class TestNonDivisibleShapes:
+    def test_non_multiple_of_tiles(self, rng):
+        """H/W not divisible by tiles: the op pads with edge replication and
+        crops back (review r2 — previously the remainder rows/cols were
+        dropped from histograms but still interpolated, and h<tiles
+        divided by zero)."""
+        img = make_low_contrast(rng, h=237, w=317)
+        ref = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8)).apply(img)
+        got = np.asarray(clahe(jnp.asarray(img), clip_limit=2.0, tiles=8))
+        assert got.shape == img.shape
+        diff = np.abs(got.astype(int) - ref.astype(int))
+        # OpenCV pads internally too, but distributes the remainder across
+        # tiles rather than replicating at the far edge; allow a slightly
+        # looser band than the divisible case.
+        assert np.mean(diff) < 3.0, f"mean diff {np.mean(diff)}"
+
+    def test_tiny_image_no_nan(self, rng):
+        img = rng.integers(0, 255, (5, 6), dtype=np.uint8)
+        out = np.asarray(clahe(jnp.asarray(img)))
+        assert out.shape == (5, 6) and out.dtype == np.uint8

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import pytest
 
 from txr.core.types import PointSet
-from txr.ops.grid_knn import grid_knn_mean_distance
+from txr.ops.grid_knn import auto_cell, grid_knn_mean_distance
 from txr.ops.outlier import knn_mean_distance
 
 
@@ -129,3 +129,40 @@ class TestAutoCell:
         pts[:, 2] = 0.0  # planar
         c = float(auto_cell(jnp.asarray(pts), jnp.ones(1000, bool)))
         assert np.isfinite(c) and c > 0
+
+
+class TestMaskedTailBoundary:
+    def test_corner_cluster_with_masked_tail(self, rng):
+        """Points in the lexicographically-LAST occupied cell must get finite
+        neighbor distances when the capacity buffer has a masked tail
+        (review r2: the direct-address table previously read hi = capacity
+        for ranges past the max occupied key, centering candidate windows
+        inside the +BIG tail and flagging the whole corner cell as
+        no-neighbor sentinels)."""
+        n_valid, cap = 2000, 4096
+        xyz = np.zeros((cap, 3), np.float32)
+        xyz[:1950] = rng.uniform(0, 1, (1950, 3)).astype(np.float32)
+        xyz[1950:2000] = (0.999 + 5e-4
+                          * rng.uniform(0, 1, (50, 3))).astype(np.float32)
+        mask = np.zeros(cap, bool)
+        mask[:n_valid] = True
+        cell = float(auto_cell(jnp.asarray(xyz), jnp.asarray(mask)))
+        d = np.asarray(grid_knn_mean_distance(jnp.asarray(xyz),
+                                              jnp.asarray(mask), cell))
+        corner = d[1950:2000]
+        # conservative (window truncation charges 2*cell per missing
+        # neighbor) but FINITE — nowhere near the BIG/2 sentinel
+        assert corner.max() < 10.0 * cell, corner.max()
+
+    def test_auto_cell_compact_cloud_in_big_buffer(self, rng):
+        """auto_cell's occupancy probe must not swallow the masked tail into
+        the last occupied cell's segment length (review r2)."""
+        cap = 1 << 16
+        xyz = np.zeros((cap, 3), np.float32)
+        xyz[:500] = rng.uniform(0, 0.05, (500, 3)).astype(np.float32)
+        mask = np.zeros(cap, bool)
+        mask[:500] = True
+        c = float(auto_cell(jnp.asarray(xyz), jnp.asarray(mask)))
+        # ~500 points in a 0.05 cube: spacing ~ 0.05/cbrt(500) ~ 0.006; the
+        # tail-corrupted median collapsed the cell to the 0.05*cell0 clamp
+        assert c > 0.004, c

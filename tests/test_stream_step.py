@@ -138,3 +138,29 @@ def test_fused_skip_without_icp(tiny_model):
     n = rec.run(ListSource([base, flat, base]))
     assert rec.frames_skipped >= 1
     assert n == rec.frames_processed < 3
+
+
+def test_mixed_fused_then_stepwise_then_fused(tiny_model, frames):
+    """Interleaving the per-frame API with fused runs must not leave the
+    fused state aliasing donated map buffers (review r2): process_frame
+    donates self.map (= state.vm after a fused run); the resync keeps the
+    continuation alive and the map monotone."""
+    intr = CameraIntrinsics(130.0, 130.0, W / 2, H / 2, W, H)
+    cfg = StreamingConfig(voxel_size=0.02, max_map_points=1 << 14,
+                          subsample_factor=2, max_depth=1e6, min_depth=1e-6,
+                          loop_closure=False)
+    rec = StreamingReconstructor(intr, depth_model=tiny_model, config=cfg,
+                                 use_icp=True, metric_depth=True,
+                                 verbose=False, fused=True,
+                                 feature_capacity=1024, icp_sample=512)
+    rec.detector.backend = "device"
+    rec.run(ListSource(frames[:2]))
+    size_a = int(sorted_map_size(rec.map))
+    assert rec._fused_state is not None
+    rec.process_frame(frames[2], 2.0, "f2")      # stepwise insert (donates)
+    assert rec._fused_state.vm is rec.map         # alias resynced
+    n = rec.run(ListSource(frames[3:]))           # fused continuation
+    assert n  # no deleted-buffer crash
+    assert rec.frames_processed == len(frames)
+    assert len(rec.poses) == len(frames)
+    assert int(sorted_map_size(rec.map)) >= size_a

@@ -66,8 +66,16 @@ def merge_pointclouds(
     returns compacted host arrays — colors scaled to 0..255 like the
     reference's merge output (depth_to_reconstruction.py:386-420).
     """
-    xs = [np.asarray(x) for x, _ in clouds if len(x)]
-    cs = [np.asarray(c) for _, c in clouds if len(c)]
+    # Filter PAIRS together: a cloud with points but no colors would
+    # otherwise desync the two concatenations (zero-fill its colors).
+    xs, cs = [], []
+    for x, c in clouds:
+        x = np.asarray(x)
+        if not len(x):
+            continue
+        xs.append(x)
+        c = np.asarray(c)
+        cs.append(c if len(c) == len(x) else np.zeros((len(x), 3), np.float32))
     if not xs:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32)
     xyz = np.concatenate(xs).astype(np.float32)

@@ -48,9 +48,9 @@ def create_sorted_map(capacity: int, voxel_size: float) -> SortedVoxelMap:
     )
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def sorted_map_insert(vm: SortedVoxelMap, points: PointSet) -> SortedVoxelMap:
-    cap = vm.kx.shape[0]
+def _insert_rows(vm: SortedVoxelMap, points: PointSet):
+    """Shared insert prologue: quantize the batch, mask invalid rows to the
+    INT_MAX sentinel, and concatenate map + batch accumulator columns."""
     coords = jnp.floor(points.xyz / vm.voxel_size).astype(jnp.int32)
     pm = points.mask
     bx = jnp.where(pm, coords[:, 0], INT_MAX)
@@ -71,7 +71,11 @@ def sorted_map_insert(vm: SortedVoxelMap, points: PointSet) -> SortedVoxelMap:
         jnp.concatenate([vm.sum_rgb[:, 2], brgb[:, 2]]),
         jnp.concatenate([vm.count, pm.astype(jnp.float32)]),
     )
-    okx, oky, okz, sums, is_seg = sorted_voxel_reduce(kx, ky, kz, cols, capacity=cap)
+    return kx, ky, kz, cols
+
+
+def _map_from_segments(vm, okx, oky, okz, sums, is_seg) -> SortedVoxelMap:
+    """Shared insert epilogue: keep occupied segments, blank the rest."""
     sx, sy, sz, sr, sg, sb, cnt = sums
     occupied = is_seg & (cnt > 0.0)
     return SortedVoxelMap(
@@ -83,6 +87,14 @@ def sorted_map_insert(vm: SortedVoxelMap, points: PointSet) -> SortedVoxelMap:
         count=jnp.where(occupied, cnt, 0.0),
         voxel_size=vm.voxel_size,
     )
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def sorted_map_insert(vm: SortedVoxelMap, points: PointSet) -> SortedVoxelMap:
+    cap = vm.kx.shape[0]
+    kx, ky, kz, cols = _insert_rows(vm, points)
+    okx, oky, okz, sums, is_seg = sorted_voxel_reduce(kx, ky, kz, cols, capacity=cap)
+    return _map_from_segments(vm, okx, oky, okz, sums, is_seg)
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -103,39 +115,10 @@ def sorted_map_insert_fast(vm: SortedVoxelMap, points: PointSet) -> SortedVoxelM
     output fidelity is the contract (bench, PLY export paths).
     """
     cap = vm.kx.shape[0]
-    coords = jnp.floor(points.xyz / vm.voxel_size).astype(jnp.int32)
-    pm = points.mask
-    bx = jnp.where(pm, coords[:, 0], INT_MAX)
-    by = jnp.where(pm, coords[:, 1], INT_MAX)
-    bz = jnp.where(pm, coords[:, 2], INT_MAX)
-    bxyz = jnp.where(pm[:, None], points.xyz, 0.0)
-    brgb = jnp.where(pm[:, None], points.rgb, 0.0)
-
-    kx = jnp.concatenate([vm.kx, bx])
-    ky = jnp.concatenate([vm.ky, by])
-    kz = jnp.concatenate([vm.kz, bz])
-    cols = (
-        jnp.concatenate([vm.sum_xyz[:, 0], bxyz[:, 0]]),
-        jnp.concatenate([vm.sum_xyz[:, 1], bxyz[:, 1]]),
-        jnp.concatenate([vm.sum_xyz[:, 2], bxyz[:, 2]]),
-        jnp.concatenate([vm.sum_rgb[:, 0], brgb[:, 0]]),
-        jnp.concatenate([vm.sum_rgb[:, 1], brgb[:, 1]]),
-        jnp.concatenate([vm.sum_rgb[:, 2], brgb[:, 2]]),
-        jnp.concatenate([vm.count, pm.astype(jnp.float32)]),
-    )
+    kx, ky, kz, cols = _insert_rows(vm, points)
     okx, oky, okz, sums, is_seg = sorted_segment_reduce_at_ends(
         kx, ky, kz, cols, capacity=cap)
-    sx, sy, sz, sr, sg, sb, cnt = sums
-    occupied = is_seg & (cnt > 0.0)
-    return SortedVoxelMap(
-        kx=jnp.where(occupied, okx, INT_MAX),
-        ky=jnp.where(occupied, oky, INT_MAX),
-        kz=jnp.where(occupied, okz, INT_MAX),
-        sum_xyz=jnp.where(occupied[:, None], jnp.stack([sx, sy, sz], axis=1), 0.0),
-        sum_rgb=jnp.where(occupied[:, None], jnp.stack([sr, sg, sb], axis=1), 0.0),
-        count=jnp.where(occupied, cnt, 0.0),
-        voxel_size=vm.voxel_size,
-    )
+    return _map_from_segments(vm, okx, oky, okz, sums, is_seg)
 
 
 @jax.jit

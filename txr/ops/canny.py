@@ -65,7 +65,9 @@ def canny(image: jnp.ndarray, low: float = 50.0, high: float = 150.0,
     n3a, n3b = _shift(mag, 1, -1), _shift(mag, -1, 1)      # 135°
     na = jnp.select([sector == 0, sector == 1, sector == 2], [n0a, n1a, n2a], n3a)
     nb = jnp.select([sector == 0, sector == 1, sector == 2], [n0b, n1b, n2b], n3b)
-    is_max = (mag >= na) & (mag >= nb)
+    # Strict on one side (like OpenCV): a 2-px constant-magnitude plateau
+    # keeps ONE pixel, not a double-wide edge.
+    is_max = (mag > na) & (mag >= nb)
 
     strong = is_max & (mag >= high)
     weak = is_max & (mag >= low) & (mag < high)

@@ -28,12 +28,17 @@ import jax.numpy as jnp
 @partial(jax.jit, static_argnames=("clip_limit", "tiles"))
 def clahe(image: jnp.ndarray, clip_limit: float = 2.0, tiles: int = 8
           ) -> jnp.ndarray:
-    """Equalize a (H, W) uint8 image. H, W must be divisible by `tiles`
-    (callers pad/crop like OpenCV does internally).
+    """Equalize a (H, W) uint8 image; any H, W (edge-replicated up to the
+    next tile multiple internally, like OpenCV, then cropped back).
 
     Returns (H, W) uint8.
     """
-    h, w = image.shape
+    h0, w0 = image.shape
+    pad_h = (-h0) % tiles
+    pad_w = (-w0) % tiles
+    if pad_h or pad_w:
+        image = jnp.pad(image, ((0, pad_h), (0, pad_w)), mode="edge")
+    h, w = h0 + pad_h, w0 + pad_w
     th, tw = h // tiles, w // tiles
     area = th * tw
     img = image.astype(jnp.int32)
@@ -77,4 +82,4 @@ def clahe(image: jnp.ndarray, clip_limit: float = 2.0, tiles: int = 8
     v11 = luts[y1, x1, v]
     out = ((1 - wy) * ((1 - wx) * v00 + wx * v01)
            + wy * ((1 - wx) * v10 + wx * v11))
-    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)[:h0, :w0]

@@ -83,12 +83,15 @@ def auto_cell(xyz: jnp.ndarray, mask: jnp.ndarray, k: int = 20,
     key = jnp.where(mask, key, _NKEYS)
     skey = jax.lax.sort(key)
     smv = skey < _NKEYS
-    first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
-    first = first & smv
+    first_all = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+    first = first_all & smv  # valid segment starts (counted for the median)
     idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
-    # next boundary position after i (inclusive scan from the right)
+    # next boundary position after i (inclusive scan from the right); the
+    # UNMASKED boundaries terminate the last occupied cell's segment at the
+    # first invalid row — otherwise its length swallows the masked tail and
+    # blows up the median on compact clouds.
     nb = jax.lax.cummin(
-        jnp.where(jnp.concatenate([first[1:], jnp.ones((1,), bool)]),
+        jnp.where(jnp.concatenate([first_all[1:], jnp.ones((1,), bool)]),
                   idx + 1, n), reverse=True)
     seg_len = jnp.where(first, nb - idx, 0).astype(jnp.float32)
     # masked median over occupied cells (sort lengths, invalid -> +inf)
@@ -140,8 +143,14 @@ def grid_knn_mean_distance(
     # T[c] = first sorted index with key >= c for EVERY c — exactly
     # searchsorted(skey, c, 'left'), with no per-query binary search.
     first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
-    first = first & sm
-    scat_idx = jnp.where(first, skey, _NKEYS + 8)  # OOB -> drop
+    # The first INVALID row (key == _NKEYS) is a boundary too: it records
+    # the valid/invalid split at S[_NKEYS], so ranges spanning past the last
+    # occupied key read hi = n_valid rather than n. Without it, cnt inflates
+    # by the masked-tail size and the window-centering shift below lands the
+    # candidate window inside the +BIG tail — every point in the
+    # lexicographically-last occupied cell then reads "no neighbors" and is
+    # unconditionally dropped by the outlier pass.
+    scat_idx = jnp.where(first, skey, _NKEYS + 8)  # non-boundaries -> drop
     S = jnp.full((_NKEYS + 4,), n, jnp.int32)
     S = S.at[scat_idx].min(pos0.astype(jnp.int32), mode="drop")
     T = jax.lax.cummin(S, reverse=True)

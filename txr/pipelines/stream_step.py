@@ -43,6 +43,7 @@ from txr.fusion.sorted_map import (
     SortedVoxelMap,
     create_sorted_map,
     sorted_map_insert,
+    sorted_map_points,
 )
 from txr.geometry.icp import estimate_normals, icp_point_to_plane
 from txr.geometry.scale import clamp_scale, ema_scale, estimate_scale
@@ -224,9 +225,9 @@ def build_fused_stream_step(model, intr, cfg, *, h: int, w: int,
         # ---- ICP refinement against the map (streaming.py:130-163) ---------
         icp_frac = jnp.asarray(-1.0, jnp.float32)
         if use_icp:
-            occ = state.vm.count > 0.0
-            denom = jnp.maximum(state.vm.count, 1.0)[:, None]
-            map_xyz = jnp.where(occ[:, None], state.vm.sum_xyz / denom, 0.0)
+            map_ps = sorted_map_points.__wrapped__(state.vm)
+            occ = map_ps.mask
+            map_xyz = map_ps.xyz
             sstep = max(1, ps.xyz.shape[0] // icp_sample)
             src_xyz = ps.xyz[::sstep][:icp_sample]
             src_mask = ps.mask[::sstep][:icp_sample]

@@ -140,9 +140,10 @@ class StreamingReconstructor:
         the current map (point-to-plane ICP on subsampled sets)."""
         map_pts = sorted_map_points(self.map)
         # Subsample both clouds to the ICP budget (static shapes).
-        src = PointSet(points_world.xyz[:: max(1, points_world.capacity // self.icp_sample)][: self.icp_sample],
-                       points_world.rgb[:: max(1, points_world.capacity // self.icp_sample)][: self.icp_sample],
-                       points_world.mask[:: max(1, points_world.capacity // self.icp_sample)][: self.icp_sample])
+        sstep = max(1, points_world.capacity // self.icp_sample)
+        src = PointSet(points_world.xyz[::sstep][: self.icp_sample],
+                       points_world.rgb[::sstep][: self.icp_sample],
+                       points_world.mask[::sstep][: self.icp_sample])
         # Strided subsample — the sorted map is ordered by voxel key, so a
         # prefix slice would be one spatial corner of the scene.
         tcap = min(self.icp_sample * 4, map_pts.capacity)
@@ -352,6 +353,22 @@ class StreamingReconstructor:
         self._prev_depth = depth
         self.frames_processed += 1
         self._maybe_keyframe(feats, depth, bgr)
+        if self._fused_state is not None:
+            # sorted_map_insert DONATES the map buffers the fused state
+            # aliased (state.vm is self.map after _run_fused); resync so a
+            # later fused run neither crashes on deleted buffers nor misses
+            # the frames ingested through this stepwise path.
+            R_l, t_l = self.poses[-1]  # _maybe_keyframe may have corrected it
+            st = self._fused_state._replace(
+                vm=self.map, R=jnp.asarray(R_l), t=jnp.asarray(t_l),
+                scale=jnp.asarray(self.scale, jnp.float32),
+                n_fused=self._fused_state.n_fused + 1)
+            if (feats.desc.shape == st.prev_desc.shape
+                    and feats.desc.dtype == np.float32):
+                st = st._replace(prev_uv=jnp.asarray(feats.uv),
+                                 prev_desc=jnp.asarray(feats.desc),
+                                 prev_mask=jnp.asarray(feats.mask))
+            self._fused_state = st
         return True
 
     # ------------------------------------------------------- fused hot loop
