@@ -15,8 +15,9 @@ Prints ONE JSON line to stdout:
 vs_baseline is against the 30 FPS north-star target (the reference publishes
 no numbers — BASELINE.md).
 
-Env knobs: TXR_BENCH_ENCODER (default vitl), TXR_BENCH_BATCH (default 16),
-TXR_BENCH_BATCHES (default 8), TXR_BENCH_QUANT (none|int8, default none —
+Env knobs: TXR_BENCH_ENCODER (default vitl), TXR_BENCH_BATCH (default 24,
+the measured insert-amortization knee), TXR_BENCH_BATCHES (default 6),
+TXR_BENCH_QUANT (none|int8, default none —
 int8 runs the encoder denses as W8A8 MXU matmuls, txr/ops/quant.py),
 TXR_BENCH_FRAMES (random|tunnel — tunnel cycles the reference's committed
 exp_tunnel_set1 frames upscaled to 1080p for scene-realistic voxel
@@ -146,13 +147,15 @@ def main():
                        if f.endswith(".jpg"))
         # cycle the sequence: the folder holds 170 jpgs, and a short second
         # batch would recompile the step and inflate the frames/sec count
-        imgs = [cv2.resize(cv2.imread(files[i % len(files)]), (W, H))
+        # [..., ::-1]: cv2 decodes BGR; the step consumes RGB (ImageNet
+        # normalization is per-channel, and map colors are stored RGB).
+        imgs = [cv2.resize(cv2.imread(files[i % len(files)]), (W, H))[..., ::-1]
                 for i in range(2 * batch)]
         stack = np.stack(imgs).astype(np.uint8)
         dev_frames = [jax.device_put(stack[i * batch:(i + 1) * batch])
                       for i in range(2)]
     else:
-        dev_frames = [jax.device_put(rng.integers(0, 255, (batch, H, W, 3),
+        dev_frames = [jax.device_put(rng.integers(0, 256, (batch, H, W, 3),
                                                   dtype=np.uint8))
                       for _ in range(2)]
 

@@ -45,6 +45,9 @@ def load_depth(path: str) -> np.ndarray:
     ext = os.path.splitext(path)[1].lower()
     if ext == ".npy":
         return np.load(path).astype(np.float32)
+    if not CV2_AVAILABLE:
+        raise IOError(f"OpenCV is required to read {ext} depth maps "
+                      f"(install opencv-python or use .npy): {path}")
     if ext in (".png", ".tiff", ".tif"):
         img = cv2.imread(path, cv2.IMREAD_ANYDEPTH)
         if img is None:
@@ -94,12 +97,18 @@ def save_depth_png16(path: str, depth: np.ndarray) -> None:
     its artifacts (tests/test_reference_parity.py pins equality). Note the
     cast WRAPS above 65.535 m, as the reference's does; scenes are clamped
     to max_depth (≤ 50 m default) well before this point."""
+    if not CV2_AVAILABLE:
+        raise IOError("OpenCV is required to write 16-bit depth PNGs "
+                      "(install opencv-python or save .npy)")
     cv2.imwrite(path, (depth * 1000).astype(np.uint16))
 
 
 def depth_to_colormap(depth: np.ndarray, colormap: int | str = "jet") -> np.ndarray:
     """Normalize depth to uint8 and apply a colormap → BGR uint8 image
     (reference depth_processor.py:909-915)."""
+    if not CV2_AVAILABLE:
+        raise IOError("OpenCV is required for colormap rendering "
+                      "(install opencv-python)")
     if isinstance(colormap, str):
         colormap = get_colormap(colormap)
     valid = np.isfinite(depth)

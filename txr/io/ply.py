@@ -13,6 +13,18 @@ from __future__ import annotations
 import numpy as np
 
 
+def _quantize_colors(rgb: np.ndarray) -> np.ndarray:
+    """Float colors → uint8, byte-identical to the C++ writer: tolerate
+    0..255-scaled floats (divide by 255, like txr._native.native_write_ply)
+    and round half-UP in float32 (the C++ `c*255.0f + 0.5f` truncation —
+    np.round's half-to-even differs on exact .5 values)."""
+    c = np.asarray(rgb, np.float32)
+    if c.size and c.max() > 1.5:
+        c = c / np.float32(255.0)
+    return np.clip(np.floor(c * np.float32(255.0) + np.float32(0.5)),
+                   0, 255).astype(np.uint8)
+
+
 def write_ply(
     path: str,
     xyz: np.ndarray,
@@ -52,7 +64,7 @@ def write_ply(
     if has_color:
         rgb = np.asarray(rgb)
         if rgb.dtype != np.uint8:
-            rgb = np.clip(np.round(rgb * 255.0), 0, 255).astype(np.uint8)
+            rgb = _quantize_colors(rgb)
 
     header = ["ply"]
     header.append("format binary_little_endian 1.0" if binary else "format ascii 1.0")
@@ -111,7 +123,10 @@ def read_ply(path: str):
         props: list[tuple[str, str]] = []
         in_vertex = False
         while True:
-            line = f.readline().strip().decode("ascii")
+            raw = f.readline()
+            if not raw:  # EOF before end_header: truncated/malformed file
+                raise ValueError(f"{path}: truncated PLY header")
+            line = raw.strip().decode("ascii")
             if line == "end_header":
                 break
             parts = line.split()
@@ -156,7 +171,7 @@ def write_pcd(path: str, xyz: np.ndarray, rgb: np.ndarray | None = None,
     if has_color:
         c = np.asarray(rgb)
         if c.dtype != np.uint8:
-            c = np.clip(np.round(np.asarray(rgb) * 255.0), 0, 255).astype(np.uint8)
+            c = _quantize_colors(c)
         packed = ((c[:, 0].astype(np.uint32) << 16)
                   | (c[:, 1].astype(np.uint32) << 8)
                   | c[:, 2].astype(np.uint32)).view(np.float32)

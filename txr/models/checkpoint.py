@@ -45,16 +45,20 @@ def load_params(path: str, template: Optional[Any] = None) -> Any:
     return ckptr.restore(path)
 
 
-def _cache_key(torch_path: str) -> str:
+def _cache_key(torch_path: str, model=None) -> str:
     """Two-part key: <source-path-hash>-<content-stamp>.
 
     The path hash groups all conversions of the same source file so stale
     entries can be evicted; the stamp uses st_mtime_ns (not whole seconds —
-    same-second overwrites must still invalidate) plus size.
-    """
+    same-second overwrites must still invalidate) plus size, plus the model
+    depth that parameterizes the conversion (convert.load_checkpoint
+    truncates to model.vit.num_layers — two models over the same file must
+    not share an entry)."""
     st = os.stat(torch_path)
+    layers = getattr(getattr(model, "vit", None), "num_layers", "")
     src = hashlib.sha256(os.path.abspath(torch_path).encode()).hexdigest()[:12]
-    stamp = hashlib.sha256(f"{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:12]
+    stamp = hashlib.sha256(
+        f"{st.st_size}:{st.st_mtime_ns}:{layers}".encode()).hexdigest()[:12]
     return f"{src}-{stamp}"
 
 
@@ -81,7 +85,7 @@ def load_params_cached(torch_path: str, model,
     invalidates its entry; older entries for the same source are evicted."""
     from txr.models.convert import load_checkpoint
 
-    key = _cache_key(torch_path)
+    key = _cache_key(torch_path, model)
     cache_path = os.path.join(cache_dir, key)
     if os.path.isdir(cache_path):
         try:

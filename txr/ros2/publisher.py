@@ -63,7 +63,10 @@ def pack_pointcloud2_numpy(points: np.ndarray, colors: Optional[np.ndarray]) -> 
     if colors is not None:
         c = colors
         if c.dtype != np.uint8:
-            c = np.clip(np.round(c * 255.0), 0, 255).astype(np.uint8)
+            # Half-up in float32, byte-identical to the C++ pack's
+            # `c*255.0f + 0.5f` truncation (np.round is half-to-even).
+            c = np.clip(np.floor(c.astype(np.float32) * np.float32(255.0)
+                                 + np.float32(0.5)), 0, 255).astype(np.uint8)
         rgb_u32 = (c[:, 0].astype(np.uint32) << 16) | \
                   (c[:, 1].astype(np.uint32) << 8) | c[:, 2].astype(np.uint32)
         rec = np.empty(n, dtype=np.dtype(

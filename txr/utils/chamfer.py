@@ -14,13 +14,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Python float, NOT np.float32: np-scalar module constants become device
-# ArrayImpls under jax 0.9 (globally cached), get captured as lifted
-# consts in later traces, and the C++ jit fastpath then drops them on
-# repeat same-structure calls ("Execution supplied N buffers but
-# compiled program expected N+1"). A Python float stays a jaxpr literal.
-_BIG = 3.0e38
-
 
 @partial(jax.jit, static_argnames=("chunk",))
 def _one_sided(a: jnp.ndarray, b: jnp.ndarray, chunk: int = 1024) -> jnp.ndarray:

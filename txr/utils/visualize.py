@@ -57,7 +57,9 @@ def visualize_reconstruction(
                            mode="markers", marker=marker, name="points")]
 
     if poses:
-        axis_len = 0.1 * float(np.linalg.norm(points.max(0) - points.min(0)) or 1.0)
+        span = (np.linalg.norm(points.max(0) - points.min(0))
+                if len(points) else 0.0)
+        axis_len = 0.1 * float(span or 1.0)
         for i, (R, t) in enumerate(poses):
             center = -np.asarray(R).T @ np.asarray(t).reshape(3)
             for ax, col in zip(range(3), ("red", "green", "blue")):
