@@ -47,7 +47,7 @@ def main():
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
     from txr.utils.tpu_wait import wait_for_backend
-    wait_for_backend(log=log)  # ride out transient relay outages (≤15 min)
+    wait_for_backend(log=log)  # ride out transient relay outages (≤45 min)
 
     import jax
     import jax.numpy as jnp

@@ -224,13 +224,73 @@ def config5_streaming(results):
     log(f"config5 streaming: {n} frames in {dt:.1f}s = {n/dt:.2f} fps")
 
 
+def config6_streaming_pingpong(results):
+    """Loop-closure demonstration on real frames: replay tunnel frames
+    forward then back to the start (the reference camera node's video
+    ping-pong playback, simple_camera_node.py:67-81), so the trajectory
+    physically returns to its first view; measure end-to-start camera-center
+    drift with loop closure on vs off. Ground truth: the first and last
+    frames are the SAME image, so true drift is zero."""
+    import cv2
+    from txr.core.config import StreamingConfig
+    from txr.io.sources import FolderSource
+    from txr.pipelines.streaming import StreamingReconstructor
+
+    model = _vits_model()
+    folder = FolderSource(TUNNEL2)
+    files = folder.files[:24]
+    seq = files + files[-2::-1]          # ends back at files[0]
+
+    class ListSource:
+        def __init__(self, paths, intr):
+            self.paths, self.intrinsics, self.i = paths, intr, 0
+
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            if self.i >= len(self.paths):
+                raise StopIteration
+            p = self.paths[self.i]
+            self.i += 1
+            return cv2.imread(p), float(self.i), os.path.basename(p)
+
+    def center(R, t):
+        return -np.asarray(R, np.float64).T @ np.asarray(
+            t, np.float64).reshape(3)
+
+    def drift(rec):
+        cs = [center(R, t) for R, t in rec.poses]
+        path = float(sum(np.linalg.norm(b - a) for a, b in zip(cs, cs[1:])))
+        return float(np.linalg.norm(cs[-1] - cs[0])), path
+
+    out = {}
+    for name, lc in (("closure_on", True), ("closure_off", False)):
+        cfg = StreamingConfig(voxel_size=0.02, subsample_factor=2,
+                              max_depth=10.0, max_map_points=1 << 20,
+                              loop_closure=lc)
+        rec = StreamingReconstructor(folder.intrinsics, depth_model=model,
+                                     config=cfg, verbose=False)
+        t0 = time.perf_counter()
+        n = rec.run(ListSource(seq, folder.intrinsics))
+        dt = time.perf_counter() - t0
+        d, path = drift(rec)
+        out[name] = {"frames": n, "fps": round(n / dt, 2),
+                     "end_drift": round(d, 4),
+                     "drift_per_path": round(d / max(path, 1e-9), 4),
+                     "loops_closed": rec.loops_closed}
+        log(f"config6 pingpong {name}: {n} frames, drift {d:.4f} "
+            f"(path {path:.2f}), {rec.loops_closed} loops")
+    results["streaming_pingpong_loop_tunnel2"] = out
+
+
 def main():
     results = {"note": ("frame-sequential configs pay the axon relay's ~26 ms"
                         " host-sync per frame; the batched headline bench"
                         " (bench.py) is the chip-throughput number")}
     for fn in (config1_fusion_only, config2_depth_images,
                config3_enhanced_e2e, config4_v3_metric_video,
-               config5_streaming):
+               config5_streaming, config6_streaming_pingpong):
         try:
             fn(results)
         except Exception as e:  # record, keep going

@@ -32,10 +32,14 @@ def wait_for_backend(max_wait_s=None, probe_timeout_s=120, log=None):
     """Block until a throwaway subprocess can run one op on the default
     JAX backend. Returns True if a probe succeeded, False on deadline.
 
-    Controlled by TXR_WAIT_TPU_S (seconds, default 900; 0 disables).
+    Controlled by TXR_WAIT_TPU_S (seconds, default 2700; 0 disables).
+    The default is sized to the observed relay outages (2026-08-18: one
+    ~90 min and one multi-hour window) — an unattended round-boundary
+    bench that gives up early records a zero for the whole round, so
+    waiting long is the cheaper failure mode.
     """
     if max_wait_s is None:
-        max_wait_s = float(os.environ.get("TXR_WAIT_TPU_S", "900"))
+        max_wait_s = float(os.environ.get("TXR_WAIT_TPU_S", "2700"))
     if max_wait_s <= 0:
         return True
     if log is None:
