@@ -8,7 +8,8 @@ export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
 cd /root/repo
 echo "=== headline bench ($(date -u +%H:%M:%S)) ==="
-timeout 2400 python bench.py
+# Budget = tpu_wait's 2700 s outage allowance + compile + run.
+timeout 5400 python bench.py
 echo "=== bench_configs ($(date -u +%H:%M:%S)) ==="
-timeout 5400 python tools/bench_configs.py > /dev/null
+timeout 7200 python tools/bench_configs.py > /dev/null
 echo "=== done ($(date -u +%H:%M:%S)) ==="
