@@ -15,10 +15,30 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "txr_native.cpp")
-_LIB = os.path.join(_DIR, "libtxr_native.so")
 _lock = threading.Lock()
 _lib = None
 _tried = False
+
+
+def _lib_path() -> str:
+    """Where the compiled library lives (or should be built).
+
+    Prefer the package directory (editable/checkout installs); for
+    non-editable installs site-packages is often read-only, so fall back to a
+    user cache dir — otherwise every process would silently retry the failing
+    g++ build and drop to the numpy fallbacks [advisor r2]."""
+    in_pkg = os.path.join(_DIR, "libtxr_native.so")
+    if os.path.exists(in_pkg) or os.access(_DIR, os.W_OK):
+        return in_pkg
+    cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME",
+                       os.path.join(os.path.expanduser("~"), ".cache")),
+        "txr")
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, "libtxr_native.so")
+
+
+_LIB = _lib_path()
 
 
 def _build() -> bool:
