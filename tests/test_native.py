@@ -149,3 +149,66 @@ class TestNativeJPEGDecode:
         got, ts, name = next(src)
         ref = cv2.imread(str(tmp_path / "a.jpg"))
         np.testing.assert_array_equal(got, ref)
+
+
+class TestNativePNG16:
+    """The uint16-mm PNG is the depth artifact contract
+    (reference depth_processor.py:905-921 writes it,
+    depth_to_reconstruction.py:85-92 reads it back); the native libpng
+    codec must be pixel-exact against cv2 in both directions."""
+
+    def _need(self):
+        from txr._native import get_lib
+
+        lib = get_lib()
+        if lib is None or not lib.txr_has_png():
+            pytest.skip("native png codec unavailable")
+
+    def test_roundtrip_and_cv2_parity(self, rng):
+        cv2 = pytest.importorskip("cv2")
+        self._need()
+        from txr._native import native_decode_png16, native_encode_png16
+
+        img = (rng.random((37, 53)) * 65535).astype(np.uint16)
+        data = native_encode_png16(img)
+        np.testing.assert_array_equal(native_decode_png16(data), img)
+        # cv2 decodes our stream pixel-exactly
+        cvdec = cv2.imdecode(np.frombuffer(data, np.uint8),
+                             cv2.IMREAD_ANYDEPTH)
+        assert cvdec.dtype == np.uint16
+        np.testing.assert_array_equal(cvdec, img)
+        # we decode cv2's stream pixel-exactly
+        ok, cvdata = cv2.imencode(".png", img)
+        assert ok
+        np.testing.assert_array_equal(
+            native_decode_png16(cvdata.tobytes()), img)
+
+    def test_rejects_non_gray16(self, rng):
+        cv2 = pytest.importorskip("cv2")
+        self._need()
+        from txr._native import native_decode_png16
+
+        rgb8 = rng.integers(0, 255, (8, 9, 3), dtype=np.uint8)
+        ok, data = cv2.imencode(".png", rgb8)
+        assert ok
+        assert native_decode_png16(data.tobytes()) is None
+        assert native_decode_png16(b"not a png") is None
+
+    def test_depth_io_routes_native(self, tmp_path, rng, monkeypatch):
+        """save/load_depth round-trips mm quantization through the native
+        codec without cv2 (tripwire: cv2.imwrite/imread must not be hit)."""
+        self._need()
+        import txr.io.depth_io as depth_io
+
+        if depth_io.CV2_AVAILABLE:
+            def _boom(*a, **k):
+                raise AssertionError("png16 path must not call cv2")
+
+            monkeypatch.setattr(depth_io.cv2, "imwrite", _boom)
+            monkeypatch.setattr(depth_io.cv2, "imread", _boom)
+        depth = rng.random((19, 23)).astype(np.float32) * 40.0
+        p = str(tmp_path / "d.png")
+        depth_io.save_depth_png16(p, depth)
+        back = depth_io.load_depth(p)
+        np.testing.assert_allclose(
+            back, (depth * 1000).astype(np.uint16) / 1000.0, atol=1e-6)

@@ -43,8 +43,12 @@ _LIB = _lib_path()
 
 def _build() -> bool:
     base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB, _SRC]
-    variants = [base + ["-DTXR_HAVE_JPEG", "-ljpeg"],  # full (host decode)
-                base]                                   # no libjpeg present
+    jpeg = ["-DTXR_HAVE_JPEG", "-ljpeg"]
+    png = ["-DTXR_HAVE_PNG", "-lpng"]
+    variants = [base + jpeg + png,  # full host codecs
+                base + jpeg,       # no libpng dev files
+                base + png,        # no libjpeg dev files
+                base]              # neither present
     for cmd in variants:
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -83,6 +87,22 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p]
         lib.txr_has_jpeg.restype = ctypes.c_int
         lib.txr_has_jpeg.argtypes = []
+        lib.txr_has_png.restype = ctypes.c_int
+        lib.txr_has_png.argtypes = []
+        if lib.txr_has_png():
+            lib.txr_png16_dims.restype = ctypes.c_int
+            lib.txr_png16_dims.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+            lib.txr_decode_png16.restype = ctypes.c_int
+            lib.txr_decode_png16.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int]
+            lib.txr_encode_png16.restype = ctypes.c_int64
+            lib.txr_encode_png16.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int64]
         if lib.txr_has_jpeg():
             lib.txr_jpeg_dims.restype = ctypes.c_int
             lib.txr_jpeg_dims.argtypes = [
@@ -125,6 +145,63 @@ def native_decode_jpeg(data: bytes) -> np.ndarray | None:
     if rc != 0:
         return None
     return out
+
+
+def native_decode_png16(data: bytes) -> np.ndarray | None:
+    """Decode a 16-bit single-channel PNG byte string to a uint16 (h, w)
+    array via libpng. Returns None when the native decoder is unavailable or
+    the stream is not a 16-bit grayscale PNG (caller falls back to cv2).
+
+    This is the depth artifact contract's read side (the reference stores
+    depth as uint16 millimeters, depth_to_reconstruction.py:85-92)."""
+    lib = get_lib()
+    if lib is None or not lib.txr_has_png():
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    bd = ctypes.c_int()
+    ch = ctypes.c_int()
+    if lib.txr_png16_dims(buf.ctypes.data_as(ctypes.c_void_p), buf.size,
+                          ctypes.byref(w), ctypes.byref(h),
+                          ctypes.byref(bd), ctypes.byref(ch)) != 0:
+        return None
+    if bd.value != 16 or ch.value != 1:
+        return None
+    out = np.empty((h.value, w.value), np.uint16)
+    rc = lib.txr_decode_png16(buf.ctypes.data_as(ctypes.c_void_p), buf.size,
+                              out.ctypes.data_as(ctypes.c_void_p),
+                              w.value, h.value)
+    if rc != 0:
+        return None
+    return out
+
+
+def native_encode_png16(img: np.ndarray) -> bytes | None:
+    """Encode a uint16 (h, w) array as a 16-bit grayscale PNG byte string.
+    Returns None when the native encoder is unavailable (caller falls back
+    to cv2). Lossless — pixel parity with cv2 is exact both ways."""
+    lib = get_lib()
+    if lib is None or not lib.txr_has_png():
+        return None
+    img = np.ascontiguousarray(img, dtype=np.uint16)
+    h, w = img.shape
+    # Raw size + headroom covers any compressible input; incompressible
+    # inputs report the true size and we retry once.
+    cap = img.nbytes + 4096
+    out = np.empty(cap, np.uint8)
+    n = lib.txr_encode_png16(img.ctypes.data_as(ctypes.c_void_p), w, h,
+                             out.ctypes.data_as(ctypes.c_void_p), cap)
+    if n < 0:
+        return None
+    if n > cap:
+        cap = int(n)
+        out = np.empty(cap, np.uint8)
+        n = lib.txr_encode_png16(img.ctypes.data_as(ctypes.c_void_p), w, h,
+                                 out.ctypes.data_as(ctypes.c_void_p), cap)
+        if n < 0 or n > cap:
+            return None
+    return out[:n].tobytes()
 
 
 def native_write_ply(path: str, xyz: np.ndarray, rgb: np.ndarray | None) -> bool:

@@ -18,6 +18,11 @@
 #include <jpeglib.h>
 #endif
 
+#ifdef TXR_HAVE_PNG
+#include <csetjmp>
+#include <png.h>
+#endif
+
 extern "C" {
 
 #ifdef TXR_HAVE_JPEG
@@ -100,6 +105,153 @@ int txr_decode_jpeg(const uint8_t* data, int64_t len, uint8_t* out,
     return 0;
 }
 #endif  // TXR_HAVE_JPEG
+
+#ifdef TXR_HAVE_PNG
+// ---- 16-bit grayscale PNG (SURVEY §2.8 item 15). The uint16-millimeter
+// PNG is the reference's depth artifact contract
+// (/root/reference/depth_processor.py:905-921 writes it,
+// /root/reference/depth_to_reconstruction.py:85-92 reads it back); this
+// codec replaces the cv2 round trip with libpng directly. Pixel parity with
+// cv2 is exact (PNG is lossless); tests pin both encode and decode
+// directions against cv2.
+
+struct txr_png_mem_reader {
+    const uint8_t* data;
+    int64_t len;
+    int64_t pos;
+};
+
+static void txr_png_read_fn(png_structp png, png_bytep out, png_size_t n) {
+    txr_png_mem_reader* r = (txr_png_mem_reader*)png_get_io_ptr(png);
+    if (r->pos + (int64_t)n > r->len) {
+        png_error(png, "txr: truncated PNG stream");
+        return;
+    }
+    memcpy(out, r->data + r->pos, n);
+    r->pos += (int64_t)n;
+}
+
+struct txr_png_mem_writer {
+    uint8_t* buf;
+    int64_t cap;
+    int64_t pos;  // total bytes produced (may exceed cap: caller re-sizes)
+};
+
+static void txr_png_write_fn(png_structp png, png_bytep data, png_size_t n) {
+    txr_png_mem_writer* w = (txr_png_mem_writer*)png_get_io_ptr(png);
+    if (w->pos + (int64_t)n <= w->cap) {
+        memcpy(w->buf + w->pos, data, n);
+    }
+    w->pos += (int64_t)n;
+}
+
+static void txr_png_flush_fn(png_structp) {}
+
+// Probe dims + bit depth/channels. Returns 0 on success.
+int txr_png16_dims(const uint8_t* data, int64_t len, int* w, int* h,
+                   int* bit_depth, int* channels) {
+    if (len < 8 || png_sig_cmp(data, 0, 8)) return -1;
+    png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING,
+                                             nullptr, nullptr, nullptr);
+    if (!png) return -1;
+    png_infop info = png_create_info_struct(png);
+    if (!info) { png_destroy_read_struct(&png, nullptr, nullptr); return -1; }
+    if (setjmp(png_jmpbuf(png))) {
+        png_destroy_read_struct(&png, &info, nullptr);
+        return -1;
+    }
+    txr_png_mem_reader r = {data, len, 0};
+    png_set_read_fn(png, &r, txr_png_read_fn);
+    png_read_info(png, info);
+    *w = (int)png_get_image_width(png, info);
+    *h = (int)png_get_image_height(png, info);
+    *bit_depth = (int)png_get_bit_depth(png, info);
+    *channels = (int)png_get_channels(png, info);
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 0;
+}
+
+// Decode a 16-bit single-channel PNG into a caller-provided uint16 buffer
+// (native little-endian). Returns 0 on success.
+int txr_decode_png16(const uint8_t* data, int64_t len, uint16_t* out,
+                     int w, int h) {
+    if (len < 8 || png_sig_cmp(data, 0, 8)) return -1;
+    png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING,
+                                             nullptr, nullptr, nullptr);
+    if (!png) return -1;
+    png_infop info = png_create_info_struct(png);
+    if (!info) { png_destroy_read_struct(&png, nullptr, nullptr); return -1; }
+    png_bytep* rows = nullptr;
+    if (setjmp(png_jmpbuf(png))) {
+        free(rows);
+        png_destroy_read_struct(&png, &info, nullptr);
+        return -1;
+    }
+    txr_png_mem_reader r = {data, len, 0};
+    png_set_read_fn(png, &r, txr_png_read_fn);
+    png_read_info(png, info);
+    if ((int)png_get_image_width(png, info) != w ||
+        (int)png_get_image_height(png, info) != h ||
+        png_get_bit_depth(png, info) != 16 ||
+        png_get_channels(png, info) != 1) {
+        png_destroy_read_struct(&png, &info, nullptr);
+        return -1;
+    }
+    png_set_swap(png);  // PNG stores big-endian; host is little-endian
+    rows = (png_bytep*)malloc(sizeof(png_bytep) * h);
+    if (!rows) { png_destroy_read_struct(&png, &info, nullptr); return -1; }
+    for (int y = 0; y < h; ++y) rows[y] = (png_bytep)(out + (int64_t)y * w);
+    png_read_image(png, rows);
+    free(rows);
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 0;
+}
+
+// Encode a uint16 single-channel image as 16-bit grayscale PNG into a
+// caller-provided buffer. Returns the total encoded size in bytes (which may
+// exceed cap — the caller then retries with a larger buffer), or -1 on error.
+// Compression level 1 matches cv2.imwrite's default speed/size point.
+int64_t txr_encode_png16(const uint16_t* img, int w, int h,
+                         uint8_t* out, int64_t cap) {
+    png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING,
+                                              nullptr, nullptr, nullptr);
+    if (!png) return -1;
+    png_infop info = png_create_info_struct(png);
+    if (!info) { png_destroy_write_struct(&png, nullptr); return -1; }
+    png_bytep* rows = nullptr;
+    if (setjmp(png_jmpbuf(png))) {
+        free(rows);
+        png_destroy_write_struct(&png, &info);
+        return -1;
+    }
+    txr_png_mem_writer wtr = {out, cap, 0};
+    png_set_write_fn(png, &wtr, txr_png_write_fn, txr_png_flush_fn);
+    png_set_compression_level(png, 1);
+    png_set_IHDR(png, info, w, h, 16, PNG_COLOR_TYPE_GRAY,
+                 PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
+                 PNG_FILTER_TYPE_DEFAULT);
+    png_write_info(png, info);
+    png_set_swap(png);
+    rows = (png_bytep*)malloc(sizeof(png_bytep) * h);
+    if (!rows) { png_destroy_write_struct(&png, &info); return -1; }
+    for (int y = 0; y < h; ++y)
+        rows[y] = (png_bytep)(img + (int64_t)y * w);
+    png_write_image(png, rows);
+    png_write_end(png, info);
+    free(rows);
+    png_destroy_write_struct(&png, &info);
+    return wtr.pos;
+}
+#endif  // TXR_HAVE_PNG
+
+// Feature probe for the python wrapper.
+int txr_has_png(void) {
+#ifdef TXR_HAVE_PNG
+    return 1;
+#else
+    return 0;
+#endif
+}
 
 // Feature probe for the python wrapper.
 int txr_has_jpeg(void) {

@@ -5,8 +5,10 @@ six filename-matching patterns, and DepthProcessor._save_depth's three outputs
 (depth_processor.py:905-921): raw .npy, colormapped visualization PNG, and
 uint16 millimeter PNG (depth * 1000).
 
-PNG encode/decode rides OpenCV's C++ codecs — the same native substrate the
-reference delegates to (SURVEY §1 L0).
+The uint16 PNG (the depth artifact contract) encodes/decodes through the
+in-repo C++ libpng stage (txr/_native, SURVEY §1 L0 / §2.8 item 15), with
+cv2 as the fallback codec; the lossy colormap visualization and EXR remain
+on cv2.
 """
 
 from __future__ import annotations
@@ -15,6 +17,8 @@ import os
 from typing import Optional
 
 import numpy as np
+
+from txr._native import native_decode_png16, native_encode_png16
 
 try:
     import cv2
@@ -45,6 +49,13 @@ def load_depth(path: str) -> np.ndarray:
     ext = os.path.splitext(path)[1].lower()
     if ext == ".npy":
         return np.load(path).astype(np.float32)
+    if ext == ".png":
+        # Native libpng path first (16-bit grayscale = the mm contract).
+        with open(path, "rb") as f:
+            data = f.read()
+        img = native_decode_png16(data)
+        if img is not None:
+            return img.astype(np.float32) / 1000.0  # millimeters → meters
     if not CV2_AVAILABLE:
         raise IOError(f"OpenCV is required to read {ext} depth maps "
                       f"(install opencv-python or use .npy): {path}")
@@ -97,10 +108,16 @@ def save_depth_png16(path: str, depth: np.ndarray) -> None:
     its artifacts (tests/test_reference_parity.py pins equality). Note the
     cast WRAPS above 65.535 m, as the reference's does; scenes are clamped
     to max_depth (≤ 50 m default) well before this point."""
+    mm = (depth * 1000).astype(np.uint16)
+    data = native_encode_png16(mm)
+    if data is not None:
+        with open(path, "wb") as f:
+            f.write(data)
+        return
     if not CV2_AVAILABLE:
-        raise IOError("OpenCV is required to write 16-bit depth PNGs "
-                      "(install opencv-python or save .npy)")
-    cv2.imwrite(path, (depth * 1000).astype(np.uint16))
+        raise IOError("A PNG codec (txr native libpng or opencv-python) is "
+                      "required to write 16-bit depth PNGs; or save .npy")
+    cv2.imwrite(path, mm)
 
 
 def depth_to_colormap(depth: np.ndarray, colormap: int | str = "jet") -> np.ndarray:

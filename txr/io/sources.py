@@ -111,7 +111,12 @@ class FolderSource(ImageSource):
 class VideoSource(ImageSource):
     """Video-file source with the reference's fps sampling modes
     (depth_processor.py:596-662): '1fps' keeps one frame per source-fps
-    frames, 'all' keeps everything, 'custom' keeps fps_percent% of frames."""
+    frames, 'all' keeps everything, 'custom' keeps fps_percent% of frames.
+
+    Video demux/decode stays on cv2's FFmpeg backend by design: inter-frame
+    codecs (H.264 etc.) need a full container/codec stack, the reference
+    rides the identical cv2 path, and decode overlaps device compute behind
+    PrefetchSource — unlike JPEG/PNG16, it is never the artifact contract."""
 
     def __init__(
         self,
