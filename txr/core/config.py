@@ -64,7 +64,17 @@ class StreamingConfig:
     # pose-graph constraint on a hit, re-optimize, re-fuse the map.
     loop_closure: bool = True
     loop_min_separation: int = 8     # keyframes between loop candidates
-    loop_stride: int = 2             # check every k-th old keyframe
+    loop_stride: int = 2             # brute-force mode: every k-th keyframe
     loop_inliers: int = 30           # inlier bar for accepting a loop edge
     loop_weight: float = 5.0         # loop-edge weight vs odometry edges
     kf_cloud_points: int = 16384     # stored per-keyframe cloud budget
+    # Appearance-gated retrieval (rtabmap's BoW memory role): candidates are
+    # ranked by VLAD-sketch similarity (txr/geometry/appearance.py) and only
+    # the top-k geometrically verified. 0 falls back to the brute-force
+    # every-loop_stride-th scan.
+    loop_topk: int = 4
+    loop_min_similarity: float = 0.05  # sketch score gate for candidates
+    # Map re-fuse after graph optimization is skipped when every keyframe
+    # camera center moved less than this (meters); None → voxel_size (the
+    # map is already consistent to within one cell).
+    loop_rebuild_min_correction: float | None = None

@@ -189,14 +189,33 @@ class StreamingReconstructor:
                         np.asarray(ps.rgb[::step][:cap]),
                         np.asarray(ps.mask[::step][:cap]))
 
-    def _try_loop_edge(self, feats, depth):
-        """Match the new keyframe against old ones; return
+    def _loop_candidates(self, sketch) -> List[int]:
+        """Appearance-gated candidate keyframes, most-similar first.
+
+        rtabmap retrieves loop candidates from its bag-of-words memory before
+        any geometric check (slam.launch.py:126-145); here the whole history
+        is scored in ONE host matmul over stored VLAD sketches and only the
+        top-k survive to match+RANSAC — closure cost stops growing with
+        session length (VERDICT r2 #3). loop_topk=0 restores the brute-force
+        every-loop_stride-th scan."""
+        n_old = len(self.keyframes) - self.cfg.loop_min_separation
+        if n_old <= 0:
+            return []
+        if self.cfg.loop_topk <= 0:
+            return list(range(0, n_old, self.cfg.loop_stride))
+        from txr.geometry.appearance import appearance_scores
+
+        sk = np.stack([kf["sketch"] for kf in self.keyframes[:n_old]])
+        scores = appearance_scores(sk, sketch)
+        order = np.argsort(-scores)[: self.cfg.loop_topk]
+        return [int(i) for i in order
+                if scores[i] >= self.cfg.loop_min_similarity]
+
+    def _try_loop_edge(self, feats, depth, sketch):
+        """Match the new keyframe against gated candidates; return
         (old_kf_index, R_rel, t_rel_world) or None."""
-        sep = self.cfg.loop_min_separation
-        if len(self.keyframes) <= sep:
-            return None
         K = jnp.asarray(self.intr.to_matrix().astype(np.float32))
-        for ki in range(0, len(self.keyframes) - sep, self.cfg.loop_stride):
+        for ki in self._loop_candidates(sketch):
             kf = self.keyframes[ki]
             uv1, uv2, mask = match_features(kf["features"], feats, ratio=0.75)
             if int(np.asarray(mask).sum()) < self.cfg.loop_inliers:
@@ -238,6 +257,15 @@ class StreamingReconstructor:
                       self.cfg.loop_weight))
         opt = optimize_pose_graph(nodes, edges, fixed=0)
 
+        # Largest camera-center correction decides whether the already-fused
+        # map must be rebuilt: below ~one voxel the fused map is unchanged at
+        # its own resolution and the (O(map)) re-fuse is pure waste.
+        max_move = 0.0
+        for (Ro, to), (Rn, tn) in zip(nodes, opt):
+            c_old = -Ro.T @ to
+            c_new = -Rn.T @ tn
+            max_move = max(max_move, float(np.linalg.norm(c_new - c_old)))
+
         # Propagate each keyframe's correction to its trailing segment.
         for a, kf in enumerate(kfs):
             Ro, to = nodes[a]
@@ -256,20 +284,39 @@ class StreamingReconstructor:
                 Rp, tp = self.poses[p]
                 self.poses[p] = ((Rp @ Rd).astype(np.float32),
                                  (Rp @ td + tp).astype(np.float32))
-        self._rebuild_map()
+        thr = self.cfg.loop_rebuild_min_correction
+        if thr is None:
+            thr = float(self.map.voxel_size)
+        if max_move > thr:
+            self._rebuild_map()
         self.loops_closed += 1
 
     def _rebuild_map(self):
-        """Re-fuse the voxel map from keyframe clouds at corrected poses."""
+        """Re-fuse the voxel map from keyframe clouds at corrected poses.
+
+        All keyframe clouds are concatenated and inserted in a few large
+        batches: each sorted_map_insert sorts the full map capacity, so the
+        old per-keyframe loop cost O(keyframes) full-capacity sorts per
+        closure (the dominant term in VERDICT r2's 5.4x closure slowdown)."""
         self.map = create_sorted_map(self.map.kx.shape[0],
                                      float(self.map.voxel_size))
-        for kf in self.keyframes:
-            R, t = self.poses[kf["pose_idx"]]
-            cloud = kf["cloud"]
-            xyz_w = (cloud.xyz - t[None, :]) @ R  # R.T @ (X_c - t), row form
-            ps = PointSet(jnp.asarray(xyz_w.astype(np.float32)),
-                          jnp.asarray(cloud.rgb),
-                          jnp.asarray(cloud.mask))
+        if not self.keyframes:
+            return
+        # Bound per-insert row count to keep peak HBM at map + O(4M) rows.
+        rows_per_batch = max(1, 4_000_000 // max(self.cfg.kf_cloud_points, 1))
+        for lo in range(0, len(self.keyframes), rows_per_batch):
+            group = self.keyframes[lo:lo + rows_per_batch]
+            xs, rs, ms = [], [], []
+            for kf in group:
+                R, t = self.poses[kf["pose_idx"]]
+                cloud = kf["cloud"]
+                # R.T @ (X_c - t), row form
+                xs.append(((cloud.xyz - t[None, :]) @ R).astype(np.float32))
+                rs.append(cloud.rgb)
+                ms.append(cloud.mask)
+            ps = PointSet(jnp.asarray(np.concatenate(xs)),
+                          jnp.asarray(np.concatenate(rs)),
+                          jnp.asarray(np.concatenate(ms)))
             self.map = sorted_map_insert(self.map, ps)
 
     def _maybe_keyframe(self, feats, depth, bgr):
@@ -277,10 +324,14 @@ class StreamingReconstructor:
             return
         if (self.frames_processed - 1) % self.cfg.keyframe_every != 0:
             return
-        loop = self._try_loop_edge(feats, depth)
+        from txr.geometry.appearance import appearance_sketch
+
+        sketch = appearance_sketch(feats.desc, feats.mask)
+        loop = self._try_loop_edge(feats, depth, sketch)
         self.keyframes.append({
             "pose_idx": len(self.poses) - 1,
             "features": feats,
+            "sketch": sketch,
             "cloud": self._camera_cloud(depth, bgr),
         })
         if loop is not None:
@@ -399,10 +450,14 @@ class StreamingReconstructor:
         feats = Features(np.asarray(diag.uv), np.asarray(diag.desc),
                          np.asarray(diag.fmask), "sift")
         depth = np.asarray(diag.depth, np.float32)
-        loop = self._try_loop_edge(feats, depth)
+        from txr.geometry.appearance import appearance_sketch
+
+        sketch = appearance_sketch(feats.desc, feats.mask)
+        loop = self._try_loop_edge(feats, depth, sketch)
         self.keyframes.append({
             "pose_idx": len(self.poses) - 1,
             "features": feats,
+            "sketch": sketch,
             "cloud": self._camera_cloud(depth, bgr),
         })
         if loop is not None:
