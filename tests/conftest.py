@@ -20,6 +20,24 @@ jax.config.update("jax_num_cpu_devices", 8)
 import numpy as np
 import pytest
 
+if os.environ.get("TXR_TEST_DIAG"):
+    # Per-test resource trace for diagnosing in-process crashes: memory-map
+    # count (vm.max_map_count exhaustion segfaults inside XLA's LLVM JIT) and
+    # RSS, appended to TXR_TEST_DIAG.
+    @pytest.fixture(autouse=True)
+    def _diag(request):
+        yield
+        try:
+            with open("/proc/self/maps") as f:
+                n_maps = sum(1 for _ in f)
+            with open("/proc/self/statm") as f:
+                rss_pages = int(f.read().split()[1])
+            with open(os.environ["TXR_TEST_DIAG"], "a") as f:
+                f.write(f"{n_maps}\t{rss_pages * 4 // 1024}\t"
+                        f"{request.node.nodeid}\n")
+        except OSError:
+            pass
+
 
 @pytest.fixture()
 def rng():

@@ -70,6 +70,73 @@ class TestMesh:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
 
+    def test_tp_flagship_vitl(self, devices, rng):
+        """TP at the FLAGSHIP bench shape (VERDICT r2 #6): registry vitl
+        (hidden 1024, 24 layers, heads 16, real DPT neck) under both
+        dp=4 x tp=2 and dp=2 x tp=4, numeric parity vs single-device.
+        Sequence reduced via a 70x70 input; TP risk is dim divisibility and
+        sharded-matmul/psum numerics, not sequence length."""
+        from txr.models.depth_anything import build_model
+
+        model, vit_cfg, _ = build_model("v2", "vitl")
+        assert vit_cfg.hidden_size == 1024 and vit_cfg.num_layers == 24
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 70, 70, 3)))["params"]
+        x = rng.normal(size=(4, 70, 70, 3)).astype(np.float32)
+        ref = model.apply({"params": params}, jnp.asarray(x))
+        for dp, tp in ((4, 2), (2, 4)):
+            mesh = make_mesh(dp=dp, tp=tp)
+            sp = shard_params(params, mesh)
+            xb = shard_batch(jnp.asarray(x), mesh)
+            with mesh:
+                got = jax.jit(lambda p, a: model.apply({"params": p}, a))(sp, xb)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=5e-4, atol=5e-4,
+                                       err_msg=f"dp={dp} tp={tp}")
+
+    def test_tp_vitg_swiglu_block(self, devices, rng):
+        """TP through the vitg SwiGLU FFN at its true dims (hidden 1536,
+        heads 24, SwiGLU hidden round8(1536*4*2/3)=4096) under both mesh
+        splits — the w12 column-parallel / w3 row-parallel rules never ran
+        at this shape before (VERDICT r2 #6). Two blocks keep it cheap while
+        still crossing a block boundary."""
+        from txr.models.vit import Block, ViTConfig, VIT_PRESETS
+        from dataclasses import replace
+
+        c = replace(VIT_PRESETS["vitg"], num_layers=2, use_flash=False)
+        assert c.use_swiglu and c.hidden_size == 1536
+
+        import flax.linen as nn
+
+        class TwoBlocks(nn.Module):
+            cfg: ViTConfig
+
+            @nn.compact
+            def __call__(self, x):
+                x = Block(self.cfg, name="block_0")(x)
+                return Block(self.cfg, name="block_1")(x)
+
+        model = TwoBlocks(c)
+        x0 = rng.normal(size=(4, 16, 1536)).astype(np.float32) * 0.1
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 1536)))[
+            "params"]
+        # The SwiGLU fused w12 kernel must exist and be tp-sharded.
+        assert params["block_0"]["mlp"]["w12"]["kernel"].shape == (1536, 8192)
+        ref = model.apply({"params": params}, jnp.asarray(x0))
+        for dp, tp in ((4, 2), (2, 4)):
+            mesh = make_mesh(dp=dp, tp=tp)
+            sp = shard_params(params, mesh)
+            spec = sp["block_0"]["mlp"]["w12"]["kernel"].sharding.spec
+            assert spec == P(None, "tp"), spec
+            spec3 = sp["block_0"]["mlp"]["w3"]["kernel"].sharding.spec
+            assert spec3 == P("tp", None), spec3
+            xb = shard_batch(jnp.asarray(x0), mesh)
+            with mesh:
+                got = jax.jit(lambda p, a: model.apply({"params": p}, a))(sp, xb)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=5e-4, atol=5e-4,
+                                       err_msg=f"dp={dp} tp={tp}")
+
     def test_tp_divisibility_asserts_at_build(self, devices):
         """Indivisible head/MLP dims must raise in shard_params, not at
         dispatch: hidden 96 -> qkv out 288, fc1 384 — fine for tp=2 but a
