@@ -225,9 +225,9 @@ class TestStreamingLoopClosure:
                                            err_msg=f"segment {a} frame {p}")
 
     def test_map_survives_rebuild(self, rng):
-        from txr.fusion.sorted_map import sorted_map_size
+        from txr.fusion.offset_map import offset_map_size
 
         frames = _pingpong_frames(rng)
         on = self._run(frames, loop_closure=True)
         assert on.loops_closed >= 1
-        assert int(sorted_map_size(on.map)) > 100
+        assert int(offset_map_size(on.map)) > 100

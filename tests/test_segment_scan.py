@@ -106,53 +106,3 @@ class TestAtEndsReduce:
         kk = key[v]
         assert np.all(np.diff(kk) > 0)
         assert np.all(np.asarray(okx)[~v] == INT_MAX)
-
-
-class TestFastInsert:
-    def test_exact_while_unsaturated(self):
-        from txr.fusion.sorted_map import (create_sorted_map,
-                                           sorted_map_insert,
-                                           sorted_map_insert_fast,
-                                           sorted_map_points)
-        rng = np.random.default_rng(4)
-        xyz = rng.uniform(-1, 1, (4000, 3)).astype(np.float32)
-        a = create_sorted_map(16384, 0.05)
-        b = create_sorted_map(16384, 0.05)
-        for chunk in np.split(xyz, 4):
-            ps = PointSet.from_numpy(chunk)
-            a = sorted_map_insert(a, ps)
-            b = sorted_map_insert_fast(b, ps)
-
-        def key_set(vm):
-            occ = np.asarray(vm.count) > 0
-            return set(zip(np.asarray(vm.kx)[occ].tolist(),
-                           np.asarray(vm.ky)[occ].tolist(),
-                           np.asarray(vm.kz)[occ].tolist()))
-
-        assert key_set(a) == key_set(b)  # identical voxel sets
-        pa, _ = sorted_map_points(a).to_numpy()
-        pb, _ = sorted_map_points(b).to_numpy()
-        assert len(pa) == len(pb)
-
-    def test_fast_mean_positions_close(self):
-        from txr.fusion.sorted_map import (create_sorted_map,
-                                           sorted_map_insert,
-                                           sorted_map_insert_fast,
-                                           sorted_map_points)
-        rng = np.random.default_rng(5)
-        xyz = rng.uniform(-1, 1, (3000, 3)).astype(np.float32)
-        a = sorted_map_insert(create_sorted_map(8192, 0.05),
-                              PointSet.from_numpy(xyz))
-        b = sorted_map_insert_fast(create_sorted_map(8192, 0.05),
-                                   PointSet.from_numpy(xyz))
-        ka = np.stack([np.asarray(a.kx), np.asarray(a.ky), np.asarray(a.kz)], 1)
-        kb = np.stack([np.asarray(b.kx), np.asarray(b.ky), np.asarray(b.kz)], 1)
-        occ_a = np.asarray(a.count) > 0
-        occ_b = np.asarray(b.count) > 0
-        pa, _ = sorted_map_points(a).to_numpy()
-        pb, _ = sorted_map_points(b).to_numpy()
-        da = {tuple(k): p for k, p in zip(ka[occ_a], pa)}
-        db = {tuple(k): p for k, p in zip(kb[occ_b], pb)}
-        assert da.keys() == db.keys()
-        err = max(np.abs(da[k] - db[k]).max() for k in da)
-        assert err < 1e-3

@@ -15,7 +15,7 @@ cv2 = pytest.importorskip("cv2")
 
 from txr.core.config import StreamingConfig
 from txr.core.intrinsics import CameraIntrinsics
-from txr.fusion.sorted_map import sorted_map_size
+from txr.fusion.offset_map import offset_map_size
 from txr.pipelines.stream_step import _bgr_to_gray_u8
 from txr.pipelines.streaming import StreamingReconstructor
 
@@ -88,8 +88,8 @@ def test_fused_matches_stepwise(tiny_model, frames):
     for (Rf, tf), (Rs, ts) in zip(rec_f.poses, rec_s.poses):
         np.testing.assert_allclose(Rf, Rs, atol=5e-3)
         np.testing.assert_allclose(tf, ts, atol=2e-2)
-    nf = int(sorted_map_size(rec_f.map))
-    ns = int(sorted_map_size(rec_s.map))
+    nf = int(offset_map_size(rec_f.map))
+    ns = int(offset_map_size(rec_s.map))
     assert nf > 100
     assert abs(nf - ns) <= max(2, ns // 20)
 
@@ -114,7 +114,7 @@ def test_fused_loop_closure_smoke(tiny_model, frames):
     assert len(rec.keyframes) >= 3
     for R, t in rec.poses:
         assert np.isfinite(R).all() and np.isfinite(t).all()
-    assert int(sorted_map_size(rec.map)) > 100
+    assert int(offset_map_size(rec.map)) > 100
 
 
 def test_fused_skip_without_icp(tiny_model):
@@ -155,7 +155,7 @@ def test_mixed_fused_then_stepwise_then_fused(tiny_model, frames):
                                  feature_capacity=1024, icp_sample=512)
     rec.detector.backend = "device"
     rec.run(ListSource(frames[:2]))
-    size_a = int(sorted_map_size(rec.map))
+    size_a = int(offset_map_size(rec.map))
     assert rec._fused_state is not None
     rec.process_frame(frames[2], 2.0, "f2")      # stepwise insert (donates)
     assert rec._fused_state.vm is rec.map         # alias resynced
@@ -163,4 +163,4 @@ def test_mixed_fused_then_stepwise_then_fused(tiny_model, frames):
     assert n  # no deleted-buffer crash
     assert rec.frames_processed == len(frames)
     assert len(rec.poses) == len(frames)
-    assert int(sorted_map_size(rec.map)) >= size_a
+    assert int(offset_map_size(rec.map)) >= size_a

@@ -8,11 +8,11 @@ import pytest
 
 from txr.core.types import PointSet
 from txr.geometry.icp import estimate_normals, icp_point_to_plane, _so3_exp
-from txr.fusion.voxel_map import (
-    create_voxel_map,
-    voxel_map_insert,
-    voxel_map_points,
-    voxel_map_size,
+from txr.fusion.offset_map import (
+    create_offset_map,
+    offset_map_insert,
+    offset_map_points,
+    offset_map_size,
 )
 
 
@@ -91,41 +91,43 @@ class TestICP:
 
 class TestVoxelMap:
     def test_insert_and_read(self, rng):
-        vm = create_voxel_map(1024, 0.1)
+        vm = create_offset_map(1024, 0.1)
         xyz = rng.uniform(-1, 1, (200, 3)).astype(np.float32)
         ps = PointSet.from_numpy(xyz)
-        vm = voxel_map_insert(vm, ps)
-        n = int(voxel_map_size(vm))
-        # Unique voxels at 0.1 over [-1,1]^3 with 200 points.
+        vm = offset_map_insert(vm, ps)
+        n = int(offset_map_size(vm))
+        # Unique voxels at 0.1 over [-1,1]^3 with 200 points; the packed
+        # key is exact (no hashing), so the count matches exactly.
         keys = np.unique(np.floor(xyz / 0.1).astype(int), axis=0)
-        assert abs(n - len(keys)) <= max(2, len(keys) // 50)  # rare collision drops
-        out = voxel_map_points(vm)
+        assert n == len(keys)
+        out = offset_map_points(vm)
         ox, _ = out.to_numpy()
         assert len(ox) == n
 
     def test_averaging(self):
-        vm = create_voxel_map(64, 1.0)
+        vm = create_offset_map(64, 1.0)
         xyz = np.array([[0.2, 0.2, 0.2], [0.4, 0.4, 0.4]], np.float32)  # same voxel
-        vm = voxel_map_insert(vm, PointSet.from_numpy(xyz))
-        out = voxel_map_points(vm)
+        vm = offset_map_insert(vm, PointSet.from_numpy(xyz))
+        out = offset_map_points(vm)
         ox, _ = out.to_numpy()
         assert len(ox) == 1
-        np.testing.assert_allclose(ox[0], [0.3, 0.3, 0.3], atol=1e-6)
+        # Offsets store at voxel/1024 fixed point (midpoint dequant).
+        np.testing.assert_allclose(ox[0], [0.3, 0.3, 0.3], atol=1.0 / 1024)
 
     def test_incremental_idempotent_voxels(self, rng):
-        vm = create_voxel_map(2048, 0.05)
+        vm = create_offset_map(2048, 0.05)
         xyz = rng.uniform(0, 1, (300, 3)).astype(np.float32)
-        vm = voxel_map_insert(vm, PointSet.from_numpy(xyz))
-        n1 = int(voxel_map_size(vm))
-        vm = voxel_map_insert(vm, PointSet.from_numpy(xyz))  # same points again
-        n2 = int(voxel_map_size(vm))
+        vm = offset_map_insert(vm, PointSet.from_numpy(xyz))
+        n1 = int(offset_map_size(vm))
+        vm = offset_map_insert(vm, PointSet.from_numpy(xyz))  # same points again
+        n2 = int(offset_map_size(vm))
         assert n1 == n2  # no new voxels
 
     def test_mask_respected(self, rng):
-        vm = create_voxel_map(256, 0.1)
+        vm = create_offset_map(256, 0.1)
         ps = PointSet.empty(100)
-        vm = voxel_map_insert(vm, ps)
-        assert int(voxel_map_size(vm)) == 0
+        vm = offset_map_insert(vm, ps)
+        assert int(offset_map_size(vm)) == 0
 
 
 class TestStreamingReconstructor:
@@ -162,21 +164,21 @@ class TestStreamingReconstructor:
             rec.process_frame(f, float(i), f"f{i}")
         assert rec.frames_processed == 3
         assert len(rec.poses) == 3
-        from txr.fusion.voxel_map import voxel_map_size
-        assert int(voxel_map_size(rec.map)) > 100
+        from txr.fusion.offset_map import offset_map_size
+        assert int(offset_map_size(rec.map)) > 100
 
     def test_save(self, tmp_path, rng):
         from txr.core.config import StreamingConfig
         from txr.core.intrinsics import CameraIntrinsics
         from txr.pipelines.streaming import StreamingReconstructor
-        from txr.fusion.sorted_map import sorted_map_insert
+        from txr.fusion.offset_map import offset_map_insert
         from txr.io.ply import read_ply
 
         rec = StreamingReconstructor(
             CameraIntrinsics.default(), depth_model=object(),
             config=StreamingConfig(max_map_points=1 << 12), verbose=False)
         xyz = rng.normal(size=(50, 3)).astype(np.float32)
-        rec.map = sorted_map_insert(rec.map, PointSet.from_numpy(xyz))
+        rec.map = offset_map_insert(rec.map, PointSet.from_numpy(xyz))
         out = str(tmp_path / "scene.ply")
         n = rec.save(out)
         rx, _ = read_ply(out)

@@ -201,7 +201,7 @@ def config4_v3_metric_video(results):
 
 def config5_streaming(results):
     from txr.core.config import StreamingConfig
-    from txr.fusion.sorted_map import sorted_map_size
+    from txr.fusion.offset_map import offset_map_size
     from txr.io.sources import FolderSource
     from txr.pipelines.streaming import StreamingReconstructor
 
@@ -219,7 +219,7 @@ def config5_streaming(results):
     dt = time.perf_counter() - t0
     results["streaming_folder_vits_tunnel2"] = {
         "frames": n, "seconds": round(dt, 2), "fps": round(n / dt, 2),
-        "map_voxels": int(sorted_map_size(rec.map)),
+        "map_voxels": int(offset_map_size(rec.map)),
         "loops_closed": rec.loops_closed}
     log(f"config5 streaming: {n} frames in {dt:.1f}s = {n/dt:.2f} fps")
 

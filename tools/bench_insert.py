@@ -1,6 +1,8 @@
 #!/usr/bin/env python3
-"""Insert micro-bench: packed_map (7 sort operands) vs offset_map (6) at
-bench scale (cap 2^21 + 16 frames x 518k points = 10.4M rows)."""
+"""Insert micro-bench: offset_map (the canonical 4-operand map) at bench
+scale (cap 2^21 + 16 frames x 518k points = 10.4M rows). Historical: the
+7-operand packed_map ancestor measured ~15% slower before its deletion
+(VERDICT r2 #8)."""
 
 import os
 import sys
@@ -15,8 +17,6 @@ import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
 from txr.core.types import PointSet
-from txr.fusion.packed_map import (create_packed_map, packed_map_insert,
-                                   packed_map_size)
 from txr.fusion.offset_map import (create_offset_map, offset_map_insert,
                                    offset_map_size)
 
@@ -39,9 +39,7 @@ def main():
 
     reps = 6
     for name, create, insert, size in [
-            ("packed_map (7 ops)", create_packed_map, packed_map_insert,
-             packed_map_size),
-            ("offset_map (6 ops)", create_offset_map, offset_map_insert,
+            ("offset_map (4 ops)", create_offset_map, offset_map_insert,
              offset_map_size)]:
         vm = create(cap, 0.01)
         vm = insert(vm, pts)

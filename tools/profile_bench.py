@@ -110,7 +110,7 @@ def main():
         timeit(forward_encoder, params, xm, name="encoder only")
     t_post, flat = timeit(post, depth, rgb_m, name="backproject (model grid)")
 
-    # insert: state is donated inside packed_map_insert; rebuild each reps
+    # insert: state is donated inside the map insert; rebuild each reps
     vm = create_offset_map(1 << 21, 0.01)
     vm = offset_map_insert(vm, flat)  # warm state + compile
     sync(vm.khi)

@@ -1,4 +1,4 @@
-"""Mean-offset packed voxel map — 4 sort operands (vs packed_map's 7).
+"""Mean-offset packed voxel map — the canonical fusion map (4 sort operands).
 
 lax.sort cost on v5e scales with operand count (tools/probe_sort_ops.py at
 13M rows: 3 ops 57 ms, 4 ops 69 ms, 5 ops 80 ms), so this variant packs the
@@ -25,8 +25,10 @@ rounding scales with each segment's own sum (~1e-7 relative) — independent
 of total accumulated map weight and of session length (the round-1 advisor
 finding on global prefixes).
 
-Replaces the same Open3D voxel hash downsample as packed_map/sorted_map
-(reference depth_to_reconstruction.py:386-420).
+The single canonical fusion map (VERDICT r2 #8): replaces the reference's
+Open3D voxel hash downsample (depth_to_reconstruction.py:386-420); the
+earlier hash/sorted/packed generations are deleted. Shared key packing
+lives in txr/fusion/keys.py.
 """
 
 from __future__ import annotations
@@ -38,7 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from txr.core.types import PointSet
-from txr.fusion.packed_map import pack_keys, unpack_keys
+from txr.fusion.keys import pack_keys, unpack_keys
 from txr.ops.scan import segmented_cumsum_cols
 from txr.ops.segment import INT_MAX
 

@@ -39,11 +39,12 @@ import jax
 import jax.numpy as jnp
 
 from txr.core.types import PointSet
-from txr.fusion.sorted_map import (
-    SortedVoxelMap,
-    create_sorted_map,
-    sorted_map_insert,
-    sorted_map_points,
+from txr.fusion.offset_map import (
+    OffsetVoxelMap,
+    create_offset_map,
+    offset_map_insert,
+    offset_map_points,
+    offset_map_size,
 )
 from txr.geometry.icp import estimate_normals, icp_point_to_plane
 from txr.geometry.scale import clamp_scale, ema_scale, estimate_scale
@@ -66,7 +67,7 @@ MIN_INLIERS = 15  # rtabmap rgbd_odometry Vis/MinInliers (slam.launch.py:115)
 class FusedStreamState(NamedTuple):
     """Device-resident streaming state (everything the next frame needs)."""
 
-    vm: SortedVoxelMap
+    vm: OffsetVoxelMap
     prev_uv: jnp.ndarray     # (cap, 2) f32 previous-frame keypoints
     prev_desc: jnp.ndarray   # (cap, 128) f32 previous-frame descriptors
     prev_mask: jnp.ndarray   # (cap,) bool
@@ -98,7 +99,7 @@ class FusedStreamDiag(NamedTuple):
 def init_fused_state(map_capacity: int, voxel_size: float,
                      feature_capacity: int, seed: int = 0) -> FusedStreamState:
     return FusedStreamState(
-        vm=create_sorted_map(map_capacity, voxel_size),
+        vm=create_offset_map(map_capacity, voxel_size),
         prev_uv=jnp.zeros((feature_capacity, 2), jnp.float32),
         prev_desc=jnp.zeros((feature_capacity, 128), jnp.float32),
         prev_mask=jnp.zeros((feature_capacity,), bool),
@@ -225,7 +226,7 @@ def build_fused_stream_step(model, intr, cfg, *, h: int, w: int,
         # ---- ICP refinement against the map (streaming.py:130-163) ---------
         icp_frac = jnp.asarray(-1.0, jnp.float32)
         if use_icp:
-            map_ps = sorted_map_points.__wrapped__(state.vm)
+            map_ps = offset_map_points.__wrapped__(state.vm)
             occ = map_ps.mask
             map_xyz = map_ps.xyz
             sstep = max(1, ps.xyz.shape[0] // icp_sample)
@@ -268,7 +269,7 @@ def build_fused_stream_step(model, intr, cfg, *, h: int, w: int,
 
         # ---- insert into the map -------------------------------------------
         ps = PointSet(xyz=ps.xyz, rgb=ps.rgb, mask=ps.mask & fused)
-        vm = sorted_map_insert.__wrapped__(state.vm, ps)
+        vm = offset_map_insert.__wrapped__(state.vm, ps)
 
         new_state = FusedStreamState(
             vm=vm, prev_uv=f.uv, prev_desc=f.desc, prev_mask=f.mask,
@@ -280,7 +281,7 @@ def build_fused_stream_step(model, intr, cfg, *, h: int, w: int,
             R=R_pose, t=t_pose, scale=scale,
             n_matches=jnp.sum(ok), n_inliers=n_inl, fused=fused,
             icp_frac=icp_frac,
-            map_size=jnp.sum((vm.count > 0.0).astype(jnp.int32)),
+            map_size=offset_map_size.__wrapped__(vm),
             depth=depth, uv=f.uv, desc=f.desc, fmask=f.mask)
         return new_state, diag
 

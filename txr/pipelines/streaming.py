@@ -43,12 +43,12 @@ from txr.core.types import PointSet
 from txr.geometry.features import Features, SIFTDetector, match_features
 from txr.geometry.icp import estimate_normals, icp_point_to_plane
 from txr.geometry.scale import clamp_scale, estimate_scale, ema_scale
-from txr.fusion.sorted_map import (
-    SortedVoxelMap,
-    create_sorted_map,
-    sorted_map_insert,
-    sorted_map_points,
-    sorted_map_size,
+from txr.fusion.offset_map import (
+    OffsetVoxelMap,
+    create_offset_map,
+    offset_map_insert,
+    offset_map_points,
+    offset_map_size,
 )
 from txr.geometry.pose_graph import optimize_pose_graph
 from txr.ops.backproject import backproject_world
@@ -85,7 +85,7 @@ class StreamingReconstructor:
         self.icp_sample = icp_sample
 
         cap = 1 << int(np.ceil(np.log2(self.cfg.max_map_points)))
-        self.map: SortedVoxelMap = create_sorted_map(cap, self.cfg.voxel_size)
+        self.map: OffsetVoxelMap = create_offset_map(cap, self.cfg.voxel_size)
 
         self.poses: List[Tuple[np.ndarray, np.ndarray]] = []
         self.scale = 1.0
@@ -138,7 +138,7 @@ class StreamingReconstructor:
     def _refine_icp(self, points_world: PointSet, R_w2c, t_w2c):
         """Refine the world→camera pose by registering the frame cloud onto
         the current map (point-to-plane ICP on subsampled sets)."""
-        map_pts = sorted_map_points(self.map)
+        map_pts = offset_map_points(self.map)
         # Subsample both clouds to the ICP budget (static shapes).
         sstep = max(1, points_world.capacity // self.icp_sample)
         src = PointSet(points_world.xyz[::sstep][: self.icp_sample],
@@ -295,10 +295,10 @@ class StreamingReconstructor:
         """Re-fuse the voxel map from keyframe clouds at corrected poses.
 
         All keyframe clouds are concatenated and inserted in a few large
-        batches: each sorted_map_insert sorts the full map capacity, so the
+        batches: each offset_map_insert sorts the full map capacity, so the
         old per-keyframe loop cost O(keyframes) full-capacity sorts per
         closure (the dominant term in VERDICT r2's 5.4x closure slowdown)."""
-        self.map = create_sorted_map(self.map.kx.shape[0],
+        self.map = create_offset_map(self.map.khi.shape[0],
                                      float(self.map.voxel_size))
         if not self.keyframes:
             return
@@ -317,7 +317,7 @@ class StreamingReconstructor:
             ps = PointSet(jnp.asarray(np.concatenate(xs)),
                           jnp.asarray(np.concatenate(rs)),
                           jnp.asarray(np.concatenate(ms)))
-            self.map = sorted_map_insert(self.map, ps)
+            self.map = offset_map_insert(self.map, ps)
 
     def _maybe_keyframe(self, feats, depth, bgr):
         if not self.cfg.loop_closure:
@@ -398,14 +398,14 @@ class StreamingReconstructor:
                     self.cfg.subsample_factor,
                 )
 
-        self.map = sorted_map_insert(self.map, ps)
+        self.map = offset_map_insert(self.map, ps)
         self.poses.append((np.asarray(R, np.float32), np.asarray(t, np.float32)))
         self._prev_features = feats
         self._prev_depth = depth
         self.frames_processed += 1
         self._maybe_keyframe(feats, depth, bgr)
         if self._fused_state is not None:
-            # sorted_map_insert DONATES the map buffers the fused state
+            # offset_map_insert DONATES the map buffers the fused state
             # aliased (state.vm is self.map after _run_fused); resync so a
             # later fused run neither crashes on deleted buffers nor misses
             # the frames ingested through this stepwise path.
@@ -478,7 +478,7 @@ class StreamingReconstructor:
         start = time.time()
         if self._fused_state is None:
             self._fused_state = init_fused_state(
-                self.map.kx.shape[0], float(self.map.voxel_size),
+                self.map.khi.shape[0], float(self.map.voxel_size),
                 self.detector.capacity)
         state = self._fused_state
         # Chunked drains: keyframes land at frames_processed ∈ {1, 1+k, ...};
@@ -565,7 +565,7 @@ class StreamingReconstructor:
                 if self.frames_processed and self.frames_processed % 10 == 0:
                     fps = self.frames_processed / (time.time() - start)
                     self._log(f"Fused {self.frames_processed} frames ({fps:.1f} fps), "
-                              f"map: {int(sorted_map_size(self.map))} voxels")
+                              f"map: {int(offset_map_size(self.map))} voxels")
         except KeyboardInterrupt:
             self._log("Interrupted — finalizing map")
         elapsed = max(time.time() - start, 1e-9)
@@ -574,7 +574,7 @@ class StreamingReconstructor:
         return self.frames_processed
 
     def save(self, path: str):
-        pts = sorted_map_points(self.map)
+        pts = offset_map_points(self.map)
         xyz, rgb = pts.to_numpy()
         write_ply(path, xyz, rgb)
         self._log(f"Saved {len(xyz)} points to {path}")
