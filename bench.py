@@ -167,30 +167,58 @@ def main():
     _ = int(offset_map_size(vmap_state))
     log(f"compile+warmup: {time.time() - t0:.1f}s")
 
-    # Timed loop (device-resident; one sync at the end).
+    # Relay sync floor (drifts round to round, CLAUDE.md TIMING): recorded
+    # in the sidecar so round-over-round comparisons can see it.
+    small = jnp.ones((8,), jnp.float32)
     t0 = time.perf_counter()
-    for i in range(n_batches):
-        vmap_state = step(params, dev_frames[i % 2], vmap_state)
-    n_voxels = int(offset_map_size(vmap_state))  # forces full sync
-    dt = time.perf_counter() - t0
+    for _ in range(5):
+        float(jnp.sum(small))
+    floor_ms = (time.perf_counter() - t0) / 5 * 1000.0
 
+    # Timed loop x n_runs (device-resident; one sync per run) — the headline
+    # is the p50, defending it against single-run relay drift (VERDICT r2
+    # #4). Each run re-inserts the same staged frames, so the map saturates
+    # after run 1 and run-to-run work is identical.
+    n_runs = int(os.environ.get("TXR_BENCH_RUNS", "3"))
     frames = batch * n_batches
-    fps = frames / dt
-    ms_per_frame = dt / frames * 1000.0
-    log(f"{frames} frames in {dt:.2f}s -> {fps:.2f} fps "
-        f"({ms_per_frame:.1f} ms/frame), fused map {n_voxels} voxels")
+    runs = []
+    n_voxels = 0
+    for r in range(n_runs):
+        t0 = time.perf_counter()
+        for i in range(n_batches):
+            vmap_state = step(params, dev_frames[i % 2], vmap_state)
+        n_voxels = int(offset_map_size(vmap_state))  # forces full sync
+        dt = time.perf_counter() - t0
+        runs.append(frames / dt)
+        log(f"run {r + 1}/{n_runs}: {frames} frames in {dt:.2f}s -> "
+            f"{frames / dt:.2f} fps ({dt / frames * 1000.0:.1f} ms/frame), "
+            f"fused map {n_voxels} voxels")
+
+    fps = float(np.median(runs))
+    log(f"p50 of {n_runs} runs: {fps:.2f} fps (floor {floor_ms:.1f} ms)")
 
     suffix = ""
     if frames_kind != "random":
         suffix += f"_{frames_kind}"
     if workload != "grid":
         suffix += f"_wl{workload}"
-    print(json.dumps({
+    result = {
         "metric": f"e2e_1080p_depth_to_fused_pointcloud_fps_{encoder}{suffix}",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 30.0, 3),
-    }))
+    }
+    # Sidecar: every run + the measured floor (stdout stays one line).
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as f:
+            json.dump({**result, "runs_fps": [round(x, 2) for x in runs],
+                       "sync_floor_ms": round(floor_ms, 1),
+                       "batch": batch, "n_batches": n_batches,
+                       "map_voxels": n_voxels}, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

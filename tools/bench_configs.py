@@ -41,6 +41,59 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+# ---------------------------------------------------------------- split timer
+# Device-vs-host attribution (VERDICT r2 #2/#9): each config runs its e2e
+# timing untouched, then a second PROFILED pass wraps the config's jitted
+# entry points with a per-dispatch terminal sync and records
+# (wall - sync_floor) per program. Per CLAUDE.md TIMING, a synced dispatch
+# measures device + ~10-15 ms dispatch-class cost — so device_ms here is an
+# upper bound on pure device time, and host_ms = e2e_total - device_ms a
+# lower bound on host work. The floor is measured fresh per run (it drifts).
+
+
+class SplitTimer:
+    def __init__(self):
+        self.acc = {}
+        import jax
+        import jax.numpy as jnp
+
+        self._jax, self._jnp = jax, jnp
+        one = jnp.ones((8,), jnp.float32)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            float(jnp.sum(one))
+        self.floor_ms = (time.perf_counter() - t0) / 5 * 1000.0
+
+    def _sync(self, out):
+        leaves = [x for x in self._jax.tree_util.tree_leaves(out)
+                  if hasattr(x, "dtype")]
+        if leaves:
+            float(self._jnp.sum(leaves[0].astype(self._jnp.float32)))
+
+    def wrap(self, fn, name):
+        def w(*a, **k):
+            t0 = time.perf_counter()
+            out = fn(*a, **k)
+            self._sync(out)
+            dt = (time.perf_counter() - t0) * 1000.0 - self.floor_ms
+            ms, cnt = self.acc.get(name, (0.0, 0))
+            self.acc[name] = (ms + max(dt, 0.0), cnt + 1)
+            return out
+        return w
+
+    def split(self, total_s: float, frames: int):
+        dev_ms = sum(ms for ms, _ in self.acc.values())
+        per_frame = {k: round(ms / frames, 1) for k, (ms, _) in
+                     sorted(self.acc.items(), key=lambda kv: -kv[1][0])}
+        total_pf = total_s * 1000.0 / frames
+        return {
+            "device_ms_per_frame": round(dev_ms / frames, 1),
+            "host_ms_per_frame": round(max(total_pf - dev_ms / frames, 0.0), 1),
+            "device_stages_ms_per_frame": per_frame,
+            "sync_floor_ms": round(self.floor_ms, 1),
+        }
+
+
 def synth_scene(root, n=12, w=640, h=480):
     """Two-layer textured scene with analytic depth (buddha_images stand-in —
     the README's dataset is not in the reference repo)."""
@@ -89,12 +142,37 @@ def config1_fusion_only(results):
         t0 = time.perf_counter()
         pts, cols, poses = pipe2.reconstruct()  # warm: compile cache hit
         dt = time.perf_counter() - t0
+
+        # Profiled pass: wrap the three sequence programs + device SIFT.
+        import txr.pipelines.fusion_pipeline as fp
+
+        st = SplitTimer()
+        saved = {k: getattr(fp, k) for k in
+                 ("_pairs_batch", "_scales_batch", "_scales_init",
+                  "_scales_views", "_dense_merge_batch_fn")}
+        try:
+            fp._pairs_batch = st.wrap(saved["_pairs_batch"], "pairs")
+            fp._scales_batch = st.wrap(saved["_scales_batch"], "scales")
+            fp._scales_init = st.wrap(saved["_scales_init"], "scales")
+            fp._scales_views = st.wrap(saved["_scales_views"], "scales")
+            fp._dense_merge_batch_fn = lambda *a, **k: st.wrap(
+                saved["_dense_merge_batch_fn"](*a, **k), "dense_merge")
+            pipe3 = DepthToReconstructionPipeline(cfg, verbose=False)
+            pipe3.detector.detect = st.wrap(pipe3.detector.detect, "sift")
+            pipe3.load_data(rgb, dep)
+            t0 = time.perf_counter()
+            pipe3.reconstruct()
+            prof_dt = time.perf_counter() - t0
+        finally:
+            for k, v in saved.items():
+                setattr(fp, k, v)
     results["fusion_only_640x480"] = {
         "frames": n, "seconds": round(dt, 2), "fps": round(n / dt, 2),
         "compile_overhead_s": round(cold - dt, 1),
-        "points": 0 if pts is None else int(len(pts))}
+        "points": 0 if pts is None else int(len(pts)),
+        **st.split(dt, n)}
     log(f"config1 fusion-only: {n} frames in {dt:.1f}s = {n/dt:.2f} fps"
-        f" (+{cold - dt:.0f}s compile)")
+        f" (+{cold - dt:.0f}s compile; profiled pass {prof_dt:.1f}s)")
 
 
 def _vits_model(version="v2", encoder="vits", **kw):
@@ -160,10 +238,42 @@ def config3_enhanced_e2e(results):
         t0 = time.perf_counter()
         result = rec2.reconstruct(output_dir=os.path.join(td, "out2"))
         dt = time.perf_counter() - t0
+
+        # Profiled pass: batched pair/scale programs, depth batch, hybrid
+        # detect (device SIFT/ORB/LSD/Canny + host NCC), dense merge.
+        import txr.pipelines.enhanced_pipeline as ep
+
+        st = SplitTimer()
+        saved = {k: getattr(ep, k) for k in
+                 ("_enh_pairs_batch", "_enh_scales_batch",
+                  "_enh_dense_merge_fn")}
+        saved_infer = (model.infer_batch, model.infer)
+        try:
+            ep._enh_pairs_batch = st.wrap(saved["_enh_pairs_batch"], "pairs")
+            ep._enh_scales_batch = st.wrap(saved["_enh_scales_batch"],
+                                           "scales")
+            ep._enh_dense_merge_fn = lambda *a, **k: st.wrap(
+                saved["_enh_dense_merge_fn"](*a, **k), "dense_merge")
+            model.infer_batch = st.wrap(model.infer_batch, "depth")
+            model.infer = st.wrap(model.infer, "depth")
+            rec3 = DepthEnhancedReconstruction(K, use_depth=True,
+                                               use_hybrid_features=True,
+                                               depth_model=model,
+                                               verbose=False,
+                                               subsample=4, voxel_size=0.02)
+            rec3.detector.detect = st.wrap(rec3.detector.detect,
+                                           "hybrid_detect")
+            rec3.load_images(rgb)
+            rec3.reconstruct(output_dir=os.path.join(td, "out3"))
+        finally:
+            for k, v in saved.items():
+                setattr(ep, k, v)
+            model.infer_batch, model.infer = saved_infer
     results["enhanced_e2e_vits_640x480"] = {
         "frames": n, "seconds": round(dt, 2), "fps": round(n / dt, 2),
         "compile_overhead_s": round(cold - dt, 1),
-        "points": 0 if result is None else int(len(result[0]))}
+        "points": 0 if result is None else int(len(result[0])),
+        **st.split(dt, n)}
     log(f"config3 enhanced e2e: {n} frames in {dt:.1f}s = {n/dt:.2f} fps"
         f" (+{cold - dt:.0f}s compile)")
 
@@ -194,8 +304,22 @@ def config4_v3_metric_video(results):
         n = proc.process(show_preview=False)
         dt = time.perf_counter() - t0
         n = n if isinstance(n, int) and n else len(files) // 2
+
+        # Profiled pass over a fresh replay of the same video.
+        st = SplitTimer()
+        src2 = VideoSource(vid, fps_mode="custom", fps_percent=50.0)
+        proc2 = DepthProcessor(model=model, source=src2,
+                               output_dir=os.path.join(td, "prof"),
+                               mode="both", pointcloud_downsample=4,
+                               max_depth=80.0)
+        orig = proc2._fused_batch_fn
+        proc2._fused_batch_fn = lambda *a: st.wrap(orig(*a), "fused_batch")
+        model.infer = st.wrap(model.infer, "infer_seq")
+        n2 = proc2.process(show_preview=False)
+        model.infer = model.__class__.infer.__get__(model)
     results["v3_metric_vkitti_video_50pct"] = {
-        "frames": n, "seconds": round(dt, 2), "fps": round(n / dt, 2)}
+        "frames": n, "seconds": round(dt, 2), "fps": round(n / dt, 2),
+        **st.split(dt, max(n2 if isinstance(n2, int) else n, 1))}
     log(f"config4 v3 metric video: {n} frames in {dt:.1f}s = {n/dt:.2f} fps")
 
 
@@ -217,10 +341,23 @@ def config5_streaming(results):
     t0 = time.perf_counter()
     n = rec.run(src, max_frames=40)
     dt = time.perf_counter() - t0
+
+    # Profiled pass: per-dispatch-synced fused step over the same frames.
+    st = SplitTimer()
+    rec2 = StreamingReconstructor(src.intrinsics, depth_model=model,
+                                  config=cfg, verbose=False)
+    orig = rec2._fused_step_for
+
+    def wrapped(h, w):
+        return st.wrap(orig(h, w), "fused_step")
+
+    rec2._fused_step_for = wrapped
+    n2 = rec2.run(FolderSource(TUNNEL2), max_frames=40)
     results["streaming_folder_vits_tunnel2"] = {
         "frames": n, "seconds": round(dt, 2), "fps": round(n / dt, 2),
         "map_voxels": int(offset_map_size(rec.map)),
-        "loops_closed": rec.loops_closed}
+        "loops_closed": rec.loops_closed,
+        **st.split(dt, max(n2, 1))}
     log(f"config5 streaming: {n} frames in {dt:.1f}s = {n/dt:.2f} fps")
 
 

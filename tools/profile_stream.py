@@ -58,6 +58,10 @@ def main():
         init_fused_state,
     )
 
+    from txr.utils.tpu_wait import wait_for_backend
+
+    wait_for_backend(log=log)
+
     model = DepthAnythingModel(version="v2", encoder="vits", seed=0)
     intr = CameraIntrinsics.default(w, h)
     cfg = StreamingConfig(voxel_size=0.02, subsample_factor=2,
