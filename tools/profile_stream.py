@@ -69,13 +69,19 @@ def main():
 
     log(f"platform: {jax.devices()[0].platform} {jax.devices()[0].device_kind}")
 
-    # sync floor
+    # sync floor: warm the probe program first (its first call pays compile
+    # and any relay wake-up), then take the median of 9 — a single
+    # contaminated sample made every stage number negative once (r3).
     one = jnp.ones((8,), jnp.float32)
-    t0 = time.perf_counter()
-    for _ in range(5):
+    for _ in range(3):
         float(jnp.sum(one))
-    floor = (time.perf_counter() - t0) / 5 * 1000
-    log(f"sync floor ~{floor:.1f} ms")
+    samples = []
+    for _ in range(9):
+        t0 = time.perf_counter()
+        float(jnp.sum(one))
+        samples.append((time.perf_counter() - t0) * 1000)
+    floor = float(np.median(samples))
+    log(f"sync floor ~{floor:.1f} ms (median of {len(samples)})")
 
     rng = np.random.default_rng(0)
     frames = [rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
