@@ -80,7 +80,9 @@ def test_gray_matches_cv2(frames):
 
 
 def test_fused_matches_stepwise(tiny_model, frames):
-    rec_f, n_f = _run(tiny_model, frames, fused=True)
+    # stream_batch=1 pins the per-frame fused step: its parity with the
+    # stepwise oracle is exact (same key stream, same per-frame ICP map).
+    rec_f, n_f = _run(tiny_model, frames, fused=True, stream_batch=1)
     rec_s, n_s = _run(tiny_model, frames, fused=False)
     assert n_f == n_s == len(frames)
     assert rec_f.frames_skipped == rec_s.frames_skipped == 0
@@ -92,6 +94,27 @@ def test_fused_matches_stepwise(tiny_model, frames):
     ns = int(offset_map_size(rec_s.map))
     assert nf > 100
     assert abs(nf - ns) <= max(2, ns // 20)
+
+
+def test_batched_matches_per_frame(tiny_model, frames):
+    """The stream_batch path (one program per B frames, lax.scan chain,
+    single batched insert) must track the per-frame fused step. Deltas are
+    bounded, not exact: batched ICP registers against the batch-START map
+    (stream_step.py build_fused_stream_batch_step docstring), so poses can
+    drift within a batch; the key stream and skip rules are identical.
+    B=3 over 5 frames also exercises the padded tail (n_valid=2 < B)."""
+    rec_b, n_b = _run(tiny_model, frames, fused=True, stream_batch=3)
+    rec_f, n_f = _run(tiny_model, frames, fused=True, stream_batch=1)
+    assert n_b == n_f == len(frames)
+    assert rec_b.frames_skipped == rec_f.frames_skipped == 0
+    assert len(rec_b.poses) == len(rec_f.poses)
+    for (Rb, tb), (Rf, tf) in zip(rec_b.poses, rec_f.poses):
+        np.testing.assert_allclose(Rb, Rf, atol=5e-2)
+        np.testing.assert_allclose(tb, tf, atol=8e-2)
+    nb = int(offset_map_size(rec_b.map))
+    nf = int(offset_map_size(rec_f.map))
+    assert nb > 100
+    assert abs(nb - nf) <= max(5, nf // 10)
 
 
 def test_fused_loop_closure_smoke(tiny_model, frames):

@@ -59,6 +59,10 @@ class StreamingConfig:
     min_depth: float = 0.1
     max_depth: float = 10.0
     subsample_factor: int = 2
+    # Offline sources run `stream_batch` frames per fused device program
+    # (batched depth forward, one map insert per batch); 1 restores the
+    # per-frame fused step. Live cameras always run per-frame.
+    stream_batch: int = 8
     # Loop closure (rtabmap_slam's role in the reference launch graph,
     # slam.launch.py:126-145): match new keyframes against old ones, add a
     # pose-graph constraint on a hit, re-optimize, re-fuse the map.

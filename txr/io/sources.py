@@ -58,6 +58,9 @@ class ImageSource:
     """Base frame source: iterator of (bgr, timestamp, identifier)."""
 
     intrinsics: Optional[CameraIntrinsics] = None
+    # Live sources mark themselves realtime; batched consumers (streaming's
+    # stream_batch path) stay per-frame for them to avoid batch latency.
+    realtime: bool = False
 
     def __iter__(self) -> Iterator[Frame]:
         return self
@@ -165,6 +168,8 @@ class CameraSource(ImageSource):
     """Live camera source with wall-clock capture-interval fps modes
     (reference depth_processor.py:522-593)."""
 
+    realtime = True
+
     def __init__(
         self,
         device_id: int = 0,
@@ -221,6 +226,7 @@ class PrefetchSource(ImageSource):
     def __init__(self, inner: ImageSource, depth: int = 4):
         self.inner = inner
         self.intrinsics = inner.intrinsics
+        self.realtime = getattr(inner, "realtime", False)
         self.q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)

@@ -286,3 +286,240 @@ def build_fused_stream_step(model, intr, cfg, *, h: int, w: int,
         return new_state, diag
 
     return step
+
+
+class FusedStreamBatchDiag(NamedTuple):
+    """Per-frame outputs of the batched step; leading axis is the batch.
+    `map_size` is a scalar (the map after the whole batch's insert).
+    `kf_*` is each frame's CAMERA-frame keyframe cloud (pose-independent,
+    what streaming.py stores for loop-closure re-fusion) so keyframe
+    bookkeeping needs no extra device dispatch."""
+
+    R: jnp.ndarray           # (B, 3, 3)
+    t: jnp.ndarray           # (B, 3)
+    scale: jnp.ndarray       # (B,)
+    n_matches: jnp.ndarray   # (B,)
+    n_inliers: jnp.ndarray   # (B,)
+    fused: jnp.ndarray       # (B,) bool
+    icp_frac: jnp.ndarray    # (B,)
+    map_size: jnp.ndarray    # () i32 — after the batch insert
+    depth: jnp.ndarray       # (B, H, W)
+    uv: jnp.ndarray          # (B, cap, 2)
+    desc: jnp.ndarray        # (B, cap, 128)
+    fmask: jnp.ndarray       # (B, cap)
+    kf_xyz: jnp.ndarray      # (B, kf_cloud_points, 3)
+    kf_rgb: jnp.ndarray      # (B, kf_cloud_points, 3)
+    kf_mask: jnp.ndarray     # (B, kf_cloud_points)
+
+
+def build_fused_stream_batch_step(model, intr, cfg, *, h: int, w: int,
+                                  batch: int,
+                                  feature_capacity: int = 4096,
+                                  contrast_threshold: float = 0.01,
+                                  edge_threshold: float = 15.0,
+                                  use_clahe: bool = True,
+                                  use_icp: bool = True,
+                                  metric_depth: bool = False,
+                                  icp_sample: int = 4096,
+                                  kf_cloud_points: int = 16384):
+    """Batched fused streaming: ONE device program per `batch` frames.
+
+    Per-frame streaming pays a dispatch + H2D round trip per frame (~40 ms
+    sync-class cost each through the axon relay) and repeats three
+    batch-amortizable computations every frame: the depth forward (MXU
+    utilization at batch 1 is poor), the ICP target sampling + normal
+    estimation over the full map, and the full-capacity voxel-map sort
+    inside the insert. This builder runs the depth forward batched, the
+    per-frame chain (SIFT → match → RANSAC → scale EMA → pose chain →
+    backproject → ICP) as a `lax.scan` with EXACTLY the per-frame step's
+    semantics (same key stream, same skip rules, same EMA updates), and a
+    single map insert of all fused frames' points at the end.
+
+    Two documented semantic deltas vs the per-frame step:
+      - ICP registers each frame against the map AS OF THE BATCH START
+        (its target sample + normals are computed once per batch), so a
+        frame does not see points inserted by earlier frames of the same
+        batch. Pose corrections still propagate through the chain inside
+        the scan.
+      - The map insert is one batched merge; per-voxel sums are identical
+        to per-frame inserts up to float summation order.
+
+    step(params, state, frames_u8 (B,H,W,3), n_valid) -> (state', diag).
+    Frames at index >= n_valid are padding: they never fuse, never touch
+    the carry, and insert nothing — the tail of a stream reuses this same
+    compiled program instead of compiling a per-frame one.
+    """
+    in_h, in_w = compute_da_resize(h, w, model.input_size)
+    flax_model = model.model
+    v3_factor = (float((intr.fx + intr.fy) / 2.0 / model.focal_length_ref)
+                 if model.version == "v3" else 1.0)
+    fx, fy = float(intr.fx), float(intr.fy)
+    cx, cy = float(intr.cx), float(intr.cy)
+    min_depth, max_depth = float(cfg.min_depth), float(cfg.max_depth)
+    stride = int(cfg.subsample_factor)
+    icp_iters = int(cfg.icp_iterations)
+    icp_max_corr = float(cfg.icp_max_correspondence)
+    B = int(batch)
+
+    @jax.jit
+    def step(params, state: FusedStreamState, frames_u8: jnp.ndarray,
+             n_valid: jnp.ndarray):
+        rgb = frames_u8[..., ::-1]
+
+        # ---- depth forward, batched over all B frames ----------------------
+        x = rgb.astype(jnp.float32) / 255.0
+        x = resize_bicubic(x, in_h, in_w, align_corners=False)
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32)
+        x = (x - mean) / std
+        depth = flax_model.apply({"params": params}, x)
+        depth = resize_bilinear(depth[..., None], h, w,
+                                align_corners=True)[..., 0]
+        if v3_factor != 1.0:
+            depth = depth * v3_factor
+
+        # ---- ICP target from the batch-start map (amortized) ---------------
+        if use_icp:
+            map_ps = offset_map_points.__wrapped__(state.vm)
+            tcap = min(icp_sample * 4, map_ps.xyz.shape[0])
+            tstep = max(1, map_ps.xyz.shape[0] // tcap)
+            tgt_xyz = map_ps.xyz[::tstep][:tcap]
+            tgt_mask = map_ps.mask[::tstep][:tcap]
+            have_map = jnp.sum(tgt_mask) >= 100
+            normals = estimate_normals.__wrapped__(tgt_xyz, tgt_mask, 8)
+
+        K = jnp.asarray(intr.to_matrix(), jnp.float32)
+        eye3 = jnp.eye(3, dtype=jnp.float32)
+        zero3 = jnp.zeros((3,), jnp.float32)
+
+        def body(carry, xs):
+            (prev_uv, prev_desc, prev_mask, R_st, t_st,
+             scale_st, key_st, n_fused_st) = carry
+            bgr_i, depth_i, valid_i = xs
+            rgb_i = bgr_i[..., ::-1]
+
+            gray = _bgr_to_gray_u8(bgr_i)
+            if use_clahe:
+                gray = clahe.__wrapped__(gray, 2.0, 8)
+            f = sift_features(gray, capacity=feature_capacity,
+                              contrast_threshold=contrast_threshold,
+                              edge_threshold=edge_threshold)
+
+            first = n_fused_st == 0
+            key_next, sub = jax.random.split(key_st)
+            key_next = jnp.where(first, key_st, key_next)
+            idx2, ok = match_l2_ratio.__wrapped__(
+                prev_desc, f.desc, prev_mask, f.mask, 0.75)
+            uv2 = f.uv[idx2]
+            R_rel, t_rel, X, valid3, n_inl = pair_step.__wrapped__(
+                prev_uv, uv2, ok, K, sub, 2.0, min_depth, max_depth * 10)
+            n_inl = jnp.where(first, 0, n_inl)
+
+            X_curr = X @ R_rel.T + t_rel
+            n_anchor = jnp.sum(valid3)
+            s_i = clamp_scale(estimate_scale.__wrapped__(
+                X_curr, uv2, valid3, depth_i))
+
+            feat_ok = (~first) & (n_inl >= MIN_INLIERS)
+            R_chain = R_rel @ R_st
+            t_chain = R_rel @ t_st + t_rel
+            R_pose = jnp.where(first, eye3,
+                               jnp.where(feat_ok, R_chain, R_st))
+            t_pose = jnp.where(first, 0.0, jnp.where(feat_ok, t_chain, t_st))
+            upd_scale = feat_ok & (n_anchor >= 5) & (not metric_depth)
+            scale = jnp.where(first, 1.0,
+                              jnp.where(upd_scale,
+                                        ema_scale(scale_st, s_i), scale_st))
+            fused = first | feat_ok if not use_icp else jnp.asarray(True)
+            fused = fused & valid_i
+
+            ps = transform_to_world.__wrapped__(
+                backproject.__wrapped__(depth_i, rgb_i, fx, fy, cx, cy,
+                                        min_depth, max_depth, scale, stride),
+                R_pose, t_pose)
+
+            icp_frac = jnp.asarray(-1.0, jnp.float32)
+            if use_icp:
+                sstep = max(1, ps.xyz.shape[0] // icp_sample)
+                src_xyz = ps.xyz[::sstep][:icp_sample]
+                src_mask = ps.mask[::sstep][:icp_sample]
+                do_icp = ((~first) & have_map
+                          & (jnp.sum(src_mask) >= 100) & valid_i)
+
+                def _icp(_):
+                    Rc, tc, _rmse, frac = icp_point_to_plane.__wrapped__(
+                        src_xyz, src_mask, tgt_xyz, normals, tgt_mask,
+                        eye3, zero3, icp_iters, icp_max_corr, 1024)
+                    return Rc, tc, frac.astype(jnp.float32)
+
+                def _skip(_):
+                    return eye3, zero3, jnp.asarray(-1.0, jnp.float32)
+
+                Rc, tc, icp_frac = jax.lax.cond(do_icp, _icp, _skip, None)
+                apply_icp = do_icp & (icp_frac >= 0.3)
+                R_new = R_pose @ Rc.T
+                t_new = t_pose - R_new @ tc
+                R_pose = jnp.where(apply_icp, R_new, R_pose)
+                t_pose = jnp.where(apply_icp, t_new, t_pose)
+                xyz_c = ps.xyz @ Rc.T + tc[None, :]
+                ps = PointSet(
+                    xyz=jnp.where(apply_icp,
+                                  jnp.where(ps.mask[:, None], xyz_c, 0.0),
+                                  ps.xyz),
+                    rgb=ps.rgb, mask=ps.mask)
+
+            ins_mask = ps.mask & fused
+
+            # CAMERA-frame keyframe cloud: the world points mapped back
+            # through this frame's (post-ICP) pose are exactly the raw
+            # camera backprojection, so no second backproject is needed.
+            kstep = max(1, ps.xyz.shape[0] // kf_cloud_points)
+            kx_w = ps.xyz[::kstep][:kf_cloud_points]
+            kf_xyz = kx_w @ R_pose.T + t_pose[None, :]
+            kf_rgb = ps.rgb[::kstep][:kf_cloud_points]
+            kf_mask = ps.mask[::kstep][:kf_cloud_points]
+
+            # Padding frames leave the carry untouched.
+            new_carry = (
+                jnp.where(valid_i, f.uv, prev_uv),
+                jnp.where(valid_i, f.desc, prev_desc),
+                jnp.where(valid_i, f.mask, prev_mask),
+                jnp.where(valid_i & fused, R_pose, R_st),
+                jnp.where(valid_i & fused, t_pose, t_st),
+                jnp.where(valid_i, scale, scale_st),
+                jnp.where(valid_i, key_next, key_st),
+                n_fused_st + (fused & valid_i).astype(jnp.int32),
+            )
+            outs = (ps.xyz, ps.rgb, ins_mask,
+                    R_pose, t_pose, scale, jnp.sum(ok), n_inl, fused,
+                    icp_frac, f.uv, f.desc, f.mask, kf_xyz, kf_rgb, kf_mask)
+            return new_carry, outs
+
+        carry0 = (state.prev_uv, state.prev_desc, state.prev_mask,
+                  state.R, state.t, state.scale, state.key, state.n_fused)
+        valid = jnp.arange(B) < n_valid
+        carry, outs = jax.lax.scan(body, carry0, (frames_u8, depth, valid))
+        (xyz_b, rgb_b, mask_b, R_b, t_b, scale_b, n_match_b, n_inl_b,
+         fused_b, icp_frac_b, uv_b, desc_b, fmask_b,
+         kf_xyz_b, kf_rgb_b, kf_mask_b) = outs
+
+        cap_pts = xyz_b.shape[1]
+        ps_all = PointSet(xyz=xyz_b.reshape(B * cap_pts, 3),
+                          rgb=rgb_b.reshape(B * cap_pts, 3),
+                          mask=mask_b.reshape(B * cap_pts))
+        vm = offset_map_insert.__wrapped__(state.vm, ps_all)
+
+        (prev_uv, prev_desc, prev_mask, R_c, t_c,
+         scale_c, key_c, n_fused_c) = carry
+        new_state = FusedStreamState(
+            vm=vm, prev_uv=prev_uv, prev_desc=prev_desc, prev_mask=prev_mask,
+            R=R_c, t=t_c, scale=scale_c, key=key_c, n_fused=n_fused_c)
+        diag = FusedStreamBatchDiag(
+            R=R_b, t=t_b, scale=scale_b, n_matches=n_match_b,
+            n_inliers=n_inl_b, fused=fused_b, icp_frac=icp_frac_b,
+            map_size=offset_map_size.__wrapped__(vm),
+            depth=depth, uv=uv_b, desc=desc_b, fmask=fmask_b,
+            kf_xyz=kf_xyz_b, kf_rgb=kf_rgb_b, kf_mask=kf_mask_b)
+        return new_state, diag
+
+    return step

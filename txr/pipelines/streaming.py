@@ -284,6 +284,12 @@ class StreamingReconstructor:
                 Rp, tp = self.poses[p]
                 self.poses[p] = ((Rp @ Rd).astype(np.float32),
                                  (Rp @ td + tp).astype(np.float32))
+        # The last keyframe's right-composition delta, for callers that hold
+        # poses chained past this closure (the batched drain applies it to
+        # the rest of its in-flight batch).
+        Ro, to = nodes[-1]
+        Rn, tn = opt[-1]
+        self._last_loop_delta = (Ro.T @ Rn, Ro.T @ (tn - to))
         thr = self.cfg.loop_rebuild_min_correction
         if thr is None:
             thr = float(self.map.voxel_size)
@@ -439,10 +445,12 @@ class StreamingReconstructor:
                 icp_sample=self.icp_sample)
         return self._fused_steps[key]
 
-    def _maybe_keyframe_fused(self, diag, bgr) -> bool:
+    def _maybe_keyframe_fused(self, diag, bgr, cloud=None) -> bool:
         """Keyframe/loop-closure bookkeeping for one fused frame. The big
         diag fields (features, depth) transfer only here. Returns True if a
-        loop closed (device state must be resynced)."""
+        loop closed (device state must be resynced). `cloud` short-circuits
+        the camera-cloud dispatch when the step already computed it (the
+        batched step emits kf_* fields)."""
         if not self.cfg.loop_closure:
             return False
         if (self.frames_processed - 1) % self.cfg.keyframe_every != 0:
@@ -458,7 +466,8 @@ class StreamingReconstructor:
             "pose_idx": len(self.poses) - 1,
             "features": feats,
             "sketch": sketch,
-            "cloud": self._camera_cloud(depth, bgr),
+            "cloud": cloud if cloud is not None
+            else self._camera_cloud(depth, bgr),
         })
         if loop is not None:
             self._close_loop(loop[0], loop[1], loop[2])
@@ -549,12 +558,139 @@ class StreamingReconstructor:
                   f"{self.frames_processed / elapsed:.1f} fps")
         return self.frames_processed
 
+    def _fused_batch_step_for(self, h: int, w: int, b: int):
+        key = (h, w, b)
+        if key not in self._fused_steps:
+            from txr.pipelines.stream_step import build_fused_stream_batch_step
+
+            self._fused_steps[key] = build_fused_stream_batch_step(
+                self.depth_model, self.intr, self.cfg, h=h, w=w, batch=b,
+                feature_capacity=self.detector.capacity,
+                contrast_threshold=self.detector.contrast_threshold,
+                edge_threshold=float(self.detector.edge_threshold),
+                use_clahe=self.detector.use_clahe,
+                use_icp=self.use_icp, metric_depth=self.metric_depth,
+                icp_sample=self.icp_sample,
+                kf_cloud_points=self.cfg.kf_cloud_points)
+        return self._fused_steps[key]
+
+    def _run_fused_batched(self, source, max_frames: Optional[int] = None) -> int:
+        """Batched fused streaming: ONE device program + ONE H2D per
+        `cfg.stream_batch` frames (build_fused_stream_batch_step). Offline
+        sources only — a live camera would pay batch-length latency, so
+        run() keeps those on the per-frame fused step."""
+        from txr.pipelines.stream_step import init_fused_state
+
+        start = time.time()
+        if self._fused_state is None:
+            self._fused_state = init_fused_state(
+                self.map.khi.shape[0], float(self.map.voxel_size),
+                self.detector.capacity)
+        state = self._fused_state
+        B = int(self.cfg.stream_batch)
+
+        class _Row:
+            """Per-frame view of the batch diag for _maybe_keyframe_fused."""
+
+            def __init__(self, diag, i):
+                self.uv, self.desc = diag.uv[i], diag.desc[i]
+                self.fmask, self.depth = diag.fmask[i], diag.depth[i]
+
+        def flush(buf):
+            nonlocal state
+            if not buf:
+                return
+            n = len(buf)
+            frames = np.stack(buf + [buf[-1]] * (B - n))
+            h, w = frames.shape[1:3]
+            step = self._fused_batch_step_for(h, w, B)
+            state, diag = step(self.depth_model.params, state,
+                               jnp.asarray(frames), n)
+            Rb, tb, scb, inlb, fub, msz = jax.device_get(
+                (diag.R, diag.t, diag.scale, diag.n_inliers, diag.fused,
+                 diag.map_size))
+            delta = None  # right-composition fix for poses chained past a
+            # closure that happened earlier in this same batch
+            for i in range(n):
+                if not bool(fub[i]):
+                    self.frames_skipped += 1
+                    self._log(f"  frame: {int(inlb[i])} inliers < "
+                              f"{MIN_INLIERS} — feature odometry failed")
+                    continue
+                R_i = np.asarray(Rb[i], np.float32)
+                t_i = np.asarray(tb[i], np.float32)
+                if delta is not None:
+                    Rd, td = delta
+                    R_i, t_i = ((R_i @ Rd).astype(np.float32),
+                                (R_i @ td + t_i).astype(np.float32))
+                self.poses.append((R_i, t_i))
+                self.scale = float(scb[i])
+                self.frames_processed += 1
+                self.map = state.vm  # _rebuild_map needs current capacity
+                if (self.cfg.loop_closure
+                        and (self.frames_processed - 1)
+                        % self.cfg.keyframe_every == 0):
+                    cloud = PointSet(np.asarray(diag.kf_xyz[i]),
+                                     np.asarray(diag.kf_rgb[i]),
+                                     np.asarray(diag.kf_mask[i]))
+                    if self._maybe_keyframe_fused(_Row(diag, i), buf[i],
+                                                  cloud=cloud):
+                        Rd2, td2 = self._last_loop_delta
+                        Rd2 = np.asarray(Rd2, np.float32)
+                        td2 = np.asarray(td2, np.float32)
+                        if delta is None:
+                            delta = (Rd2, td2)
+                        else:
+                            # Compose: raw ∘ d1 ∘ d2 (right-composition).
+                            Rd1, td1 = delta
+                            delta = (Rd1 @ Rd2, Rd1 @ td2 + td1)
+                        R_l, t_l = self.poses[-1]
+                        state = state._replace(
+                            vm=self.map, R=jnp.asarray(R_l),
+                            t=jnp.asarray(t_l))
+                if self.frames_processed % 10 == 0:
+                    fps = self.frames_processed / (time.time() - start)
+                    self._log(f"Fused {self.frames_processed} frames "
+                              f"({fps:.1f} fps), map: {int(msz)} voxels")
+            if delta is not None:
+                # The next batch chains from the corrected last pose.
+                R_l, t_l = self.poses[-1]
+                state = state._replace(vm=self.map, R=jnp.asarray(R_l),
+                                       t=jnp.asarray(t_l))
+            buf.clear()
+
+        buf: List[np.ndarray] = []
+        n_seen = 0
+        try:
+            for i, (bgr, ts, ident) in enumerate(source):
+                if max_frames is not None and i >= max_frames:
+                    break
+                n_seen += 1
+                if buf and bgr.shape[:2] != buf[0].shape[:2]:
+                    flush(buf)  # shape change starts a new batch
+                buf.append(bgr)
+                if len(buf) == B:
+                    flush(buf)
+        except KeyboardInterrupt:
+            self._log("Interrupted — finalizing map")
+        flush(buf)
+        self._fused_state = state
+        self.map = state.vm
+        elapsed = max(time.time() - start, 1e-9)
+        self._log(f"Stream done: {self.frames_processed} fused, "
+                  f"{self.frames_skipped} skipped, "
+                  f"{self.frames_processed / elapsed:.1f} fps")
+        return self.frames_processed
+
     def run(self, source, max_frames: Optional[int] = None) -> int:
         # Fused mode needs the Flax internals (module + params); duck-typed
         # depth models (tests, external estimators) take the stepwise path.
         if (self.fused and self.depth_model is not None
                 and hasattr(self.depth_model, "model")
                 and hasattr(self.depth_model, "params")):
+            if (int(self.cfg.stream_batch) > 1
+                    and not getattr(source, "realtime", False)):
+                return self._run_fused_batched(source, max_frames)
             return self._run_fused(source, max_frames)
         start = time.time()
         try:
