@@ -26,7 +26,7 @@ jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("TXR_TEST_CACHE_DIR",
                                  "/root/repo/.jax_cache_cpu"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np
 import pytest

@@ -53,6 +53,33 @@ class TestHybridDetector:
         pts1, pts2 = det.match_features(f, f)
         assert len(pts1) > 10  # SIFT-only still matches
 
+    def test_detect_batch_matches_scalar_device(self, textured_pair):
+        """Batched hybrid detection (one program for all four stages over
+        BATCH frames, padded tail) must reproduce the per-frame device
+        path — same kernels, different dispatch structure."""
+        det = HybridFeatureDetector(verbose=False, backend="device")
+        imgs = [textured_pair[0], textured_pair[1], textured_pair[0]]
+        batched = det.detect_batch(imgs)
+        assert len(batched) == len(imgs)
+        def _set_overlap(uv_a, uv_b, tol=0.5):
+            """Fraction of a's keypoints with a b keypoint within tol px
+            (lax.map float ties reorder/replace marginal keypoints)."""
+            if len(uv_a) == 0:
+                return 1.0
+            d2 = ((uv_a[:, None, :] - uv_b[None, :, :]) ** 2).sum(-1)
+            return float((d2.min(1) < tol * tol).mean())
+
+        for im, fb in zip(imgs, batched):
+            fs = det.detect(im)
+            assert abs(fb.sift.count - fs.sift.count) <= 2
+            assert _set_overlap(fb.sift.uv[fb.sift.mask],
+                                fs.sift.uv[fs.sift.mask]) > 0.99
+            assert abs(fb.orb.count - fs.orb.count) <= 2
+            assert _set_overlap(fb.orb.uv[fb.orb.mask],
+                                fs.orb.uv[fs.orb.mask]) > 0.98
+            assert abs(len(fb.lines) - len(fs.lines)) <= 2
+            assert np.mean(fb.edges != fs.edges) < 1e-3
+
 
 class TestLineEndpoints:
     def test_identical_images_match_in_place(self, textured_pair):

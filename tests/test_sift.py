@@ -149,3 +149,30 @@ class TestDeviceSift:
         sel = ok & (uv1[:, 0] < img.shape[1] - 12)
         err = np.abs(uv1[sel][:, 0] + 11 - uv2[sel][:, 0])
         assert np.median(err) < 1.0
+
+    def test_detect_batch_matches_scalar(self):
+        """detect_batch (one lax.map program per 8 frames + padded tail)
+        must reproduce per-frame detect() on the device backend: same
+        kernels, same inputs — only the dispatch structure differs."""
+        from txr.geometry.features import SIFTDetector
+        det = SIFTDetector(capacity=512, backend="device")
+        imgs = [_texture(8), np.roll(_texture(8), 11, axis=1),
+                np.roll(_texture(8), 5, axis=0)]
+        batched = det.detect_batch(imgs)
+        assert len(batched) == len(imgs)
+        for im, fb in zip(imgs, batched):
+            fs = det.detect(im)
+            # lax.map fuses differently than the scalar program, so float
+            # ties in the top-k response ordering can swap/replace marginal
+            # keypoints — compare as SETS: same count, and ~every batched
+            # keypoint has a scalar keypoint at the same pixel whose
+            # descriptor matches.
+            assert fb.count == fs.count
+            bu, su = fb.uv[fb.mask], fs.uv[fs.mask]
+            bd, sd = fb.desc[fb.mask], fs.desc[fs.mask]
+            d2 = ((bu[:, None, :] - su[None, :, :]) ** 2).sum(-1)
+            nn = d2.argmin(1)
+            pos_ok = d2[np.arange(len(bu)), nn] < 1e-3
+            assert pos_ok.mean() > 0.99, pos_ok.mean()
+            derr = np.abs(bd[pos_ok] - sd[nn[pos_ok]]).max(-1)
+            assert (derr < 0.05 * np.abs(sd).max()).mean() > 0.98

@@ -159,6 +159,8 @@ def config1_fusion_only(results):
                 saved["_dense_merge_batch_fn"](*a, **k), "dense_merge")
             pipe3 = DepthToReconstructionPipeline(cfg, verbose=False)
             pipe3.detector.detect = st.wrap(pipe3.detector.detect, "sift")
+            pipe3.detector.detect_batch = st.wrap(
+                pipe3.detector.detect_batch, "sift")
             pipe3.load_data(rgb, dep)
             t0 = time.perf_counter()
             pipe3.reconstruct()
@@ -263,6 +265,8 @@ def config3_enhanced_e2e(results):
                                                subsample=4, voxel_size=0.02)
             rec3.detector.detect = st.wrap(rec3.detector.detect,
                                            "hybrid_detect")
+            rec3.detector.detect_batch = st.wrap(rec3.detector.detect_batch,
+                                                 "hybrid_detect")
             rec3.load_images(rgb)
             rec3.reconstruct(output_dir=os.path.join(td, "out3"))
         finally:
@@ -352,6 +356,12 @@ def config5_streaming(results):
         return st.wrap(orig(h, w), "fused_step")
 
     rec2._fused_step_for = wrapped
+    orig_b = rec2._fused_batch_step_for
+
+    def wrapped_b(h, w, b):
+        return st.wrap(orig_b(h, w, b), "fused_batch_step")
+
+    rec2._fused_batch_step_for = wrapped_b
     n2 = rec2.run(FolderSource(TUNNEL2), max_frames=40)
     results["streaming_folder_vits_tunnel2"] = {
         "frames": n, "seconds": round(dt, 2), "fps": round(n / dt, 2),

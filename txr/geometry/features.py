@@ -141,6 +141,65 @@ class SIFTDetector:
         return Features(np.asarray(f.uv), np.asarray(f.desc),
                         np.asarray(f.mask), "sift")
 
+    # Frames per batched device program. Fixed (not pow2-of-n) so every
+    # same-shape sequence shares ONE compiled program; short tails pad by
+    # repeating the last frame and slice the results.
+    BATCH = 8
+
+    def _device_batch_fn(self, h: int, w: int):
+        cache = self.__dict__.setdefault("_batch_cache", {})
+        fn = cache.get((h, w))
+        if fn is None:
+            from txr.ops.sift import sift_features
+            from txr.ops.clahe import clahe as clahe_op
+
+            cap = self.capacity
+            ct = float(self.contrast_threshold)
+            et = float(self.edge_threshold)
+            uc = self.use_clahe
+
+            @jax.jit
+            def fn(grays_u8):  # (B, h, w) uint8
+                def one(g):
+                    if uc:
+                        g = clahe_op.__wrapped__(g, 2.0, 8)
+                    f = sift_features(g, capacity=cap, contrast_threshold=ct,
+                                      edge_threshold=et)
+                    return f.uv, f.desc, f.mask
+
+                return jax.lax.map(one, grays_u8)
+
+            cache[(h, w)] = fn
+        return fn
+
+    def detect_batch(self, images) -> list:
+        """Detect over a sequence with ONE device program (CLAHE + SIFT via
+        lax.map) + ONE transfer each way per BATCH frames, instead of the
+        2 dispatches + 4 round trips per frame the scalar path pays — the
+        per-frame sync tax dominated the sequence CLIs on the relay
+        (VERDICT r2 #2). cv2 backend keeps the per-frame C++ loop."""
+        if self.backend != "device":
+            return [self.detect(im) for im in images]
+        out: list = [None] * len(images)
+        groups: dict = {}  # folders may mix shapes; group to keep static
+        for i, im in enumerate(images):
+            g = self._to_gray(im)
+            if g.dtype != np.uint8:
+                g = np.clip(g, 0, 255).astype(np.uint8)
+            groups.setdefault(g.shape, []).append((i, g))
+        for (h, w), items in groups.items():
+            fn = self._device_batch_fn(h, w)
+            for s in range(0, len(items), self.BATCH):
+                chunk = items[s:s + self.BATCH]
+                n = len(chunk)
+                grays = np.stack([g for _, g in chunk]
+                                 + [chunk[-1][1]] * (self.BATCH - n))
+                uv, desc, mask = jax.device_get(fn(jnp.asarray(grays)))
+                for k, (i, _) in enumerate(chunk):
+                    out[i] = Features(uv[k], desc[k], mask[k].astype(bool),
+                                      "sift")
+        return out
+
 
 class ORBDetector:
     """ORB detector (reference depth_enhanced_reconstruction.py:197-199:

@@ -26,6 +26,7 @@ except ImportError:  # pragma: no cover
     cv2 = None
     CV2_AVAILABLE = False
 
+import jax
 import jax.numpy as jnp
 
 from txr.geometry.features import Features, _pad_features, dedupe_matches
@@ -137,6 +138,96 @@ class HybridFeatureDetector:
             edges = np.asarray(canny(jnp.asarray(gray)))
             self._log(f"  Edge points: {int((edges > 0).sum())}")
         return HybridFeatures(sift=sift, orb=orb, lines=lines, edges=edges, gray=gray)
+
+    BATCH = 4  # frames per batched device program (4 stages each)
+
+    def _device_batch_fn(self, h: int, w: int):
+        cache = self.__dict__.setdefault("_batch_cache", {})
+        fn = cache.get((h, w))
+        if fn is None:
+            from txr.ops.canny import canny
+            from txr.ops.lsd import lsd_lines
+            from txr.ops.orb import orb_features
+            from txr.ops.sift import sift_features
+
+            us, uo = self.use_sift, self.use_orb
+            ul, ue = self.use_lines, self.use_edges
+            scap, ocap = self.sift_capacity, self.orb_capacity
+
+            @jax.jit
+            def fn(grays_u8):  # (B, h, w) uint8
+                def one(g):
+                    outs = {}
+                    if us:
+                        f = sift_features(g, capacity=scap,
+                                          contrast_threshold=0.02)
+                        outs["sift"] = (f.uv, f.desc, f.mask)
+                    if uo:
+                        f = orb_features(g, capacity=ocap, n_levels=8)
+                        outs["orb"] = (f.uv, f.desc, f.mask)
+                    if ul:
+                        ln = lsd_lines(g)
+                        outs["lines"] = (ln.lines, ln.mask)
+                    if ue:
+                        outs["edges"] = canny.__wrapped__(g, 50.0, 150.0)
+                    return outs
+
+                return jax.lax.map(one, grays_u8)
+
+            cache[(h, w)] = fn
+        return fn
+
+    def detect_batch(self, images) -> list:
+        """Detect over a sequence with ONE device program (all four stages
+        via lax.map) + one transfer each way per BATCH frames. The scalar
+        device path pays 4 dispatches + ~10 host syncs per frame — the
+        dominant cost of the enhanced CLI on the relay (VERDICT r2 #2).
+        cv2 backend keeps the per-frame C++ loop."""
+        if self.backend != "device":
+            return [self.detect(im) for im in images]
+        out: list = [None] * len(images)
+        groups: dict = {}
+        for i, im in enumerate(images):
+            if im.ndim == 3:
+                if CV2_AVAILABLE:
+                    g = cv2.cvtColor(im, cv2.COLOR_BGR2GRAY)
+                else:
+                    g = (0.114 * im[..., 0] + 0.587 * im[..., 1]
+                         + 0.299 * im[..., 2]).astype(np.uint8)
+            else:
+                g = im
+            groups.setdefault(g.shape, []).append((i, g))
+        for (h, w), items in groups.items():
+            fn = self._device_batch_fn(h, w)
+            for s in range(0, len(items), self.BATCH):
+                chunk = items[s:s + self.BATCH]
+                n = len(chunk)
+                grays = np.stack([g for _, g in chunk]
+                                 + [chunk[-1][1]] * (self.BATCH - n))
+                res = jax.device_get(fn(jnp.asarray(grays)))
+                for k, (i, g) in enumerate(chunk):
+                    sift = orb = None
+                    lines = edges = None
+                    if self.use_sift:
+                        uv, desc, mask = (res["sift"][0][k], res["sift"][1][k],
+                                          res["sift"][2][k].astype(bool))
+                        sift = Features(uv, desc, mask, "sift")
+                        self._log(f"  SIFT: {sift.count} keypoints")
+                    if self.use_orb:
+                        uv, desc, mask = (res["orb"][0][k], res["orb"][1][k],
+                                          res["orb"][2][k].astype(bool))
+                        orb = Features(uv, desc, mask, "orb")
+                        self._log(f"  ORB: {orb.count} keypoints")
+                    if self.use_lines:
+                        lines = res["lines"][0][k][
+                            res["lines"][1][k].astype(bool)]
+                        self._log(f"  Lines: {len(lines)} segments")
+                    if self.use_edges:
+                        edges = res["edges"][k]
+                        self._log(f"  Edge points: {int((edges > 0).sum())}")
+                    out[i] = HybridFeatures(sift=sift, orb=orb, lines=lines,
+                                            edges=edges, gray=g)
+        return out
 
     # ------------------------------------------------------------- matching
 

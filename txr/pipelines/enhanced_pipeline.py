@@ -216,10 +216,17 @@ class DepthEnhancedReconstruction:
 
     def detect_all_features(self):
         self._log("Detecting features...")
-        self.features = []
-        for i, im in enumerate(self.images):
-            self._log(f" Image {i}:")
-            self.features.append(self.detector.detect(im))
+        if getattr(self.detector, "backend", "cv2") == "device":
+            # One batched device program per 4 frames (all four stages
+            # inside) instead of 4 dispatches + ~10 host syncs per frame.
+            self.features = self.detector.detect_batch(self.images)
+            for i in range(len(self.features)):
+                self._log(f" Image {i}: (batched detect)")
+        else:
+            self.features = []
+            for i, im in enumerate(self.images):
+                self._log(f" Image {i}:")
+                self.features.append(self.detector.detect(im))
 
     def match_image_pair(self, i: int, j: int):
         """Hybrid match → depth filter → custom RANSAC-F

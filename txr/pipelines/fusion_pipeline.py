@@ -396,7 +396,9 @@ class DepthToReconstructionPipeline:
 
         K = jnp.asarray(cfg.K.astype(np.float32))
         t0 = time.time()
-        features = [self.detector.detect(img) for img in self.images]
+        # One batched device program per 8 frames (detect_batch) instead of
+        # 2 dispatches + 4 host round trips per frame on the device backend.
+        features = self.detector.detect_batch(self.images)
         self._log(f"Features detected for {len(features)} frames "
                   f"({time.time() - t0:.2f}s)")
 
