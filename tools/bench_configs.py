@@ -432,8 +432,11 @@ def config6_streaming_pingpong(results):
 
 
 def main():
-    results = {"note": ("frame-sequential configs pay the axon relay's ~26 ms"
-                        " host-sync per frame; the batched headline bench"
+    results = {"note": ("frame-sequential configs ride the axon relay, whose"
+                        " sync floor DRIFTS round to round (26 ms r1, ~40 r2,"
+                        " 23-127 ms within one r3 run — see each config's"
+                        " sync_floor_ms); compare device_ms_per_frame across"
+                        " rounds, not raw fps. The batched headline bench"
                         " (bench.py) is the chip-throughput number")}
     for fn in (config1_fusion_only, config2_depth_images,
                config3_enhanced_e2e, config4_v3_metric_video,
