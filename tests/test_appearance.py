@@ -73,3 +73,32 @@ class TestAppearanceSketch:
 
     def test_scores_shape_empty(self):
         assert appearance_scores(np.zeros((0, 16)), np.zeros(16)).shape == (0,)
+
+
+class TestDeviceSketchParity:
+    """appearance_sketch_jax is the device path the fused streaming loop uses
+    (keyframe descriptors stay in HBM; only the sketch crosses D2H). It must
+    agree with the host oracle to float tolerance."""
+
+    def test_matches_host(self, rng):
+        import jax
+
+        from txr.geometry.appearance import appearance_sketch_jax
+
+        desc = _fake_desc(rng, 256)
+        mask = np.zeros(256, bool)
+        mask[:180] = True
+        host = appearance_sketch(desc, mask)
+        dev = np.asarray(jax.jit(appearance_sketch_jax)(
+            np.asarray(desc), np.asarray(mask)))
+        np.testing.assert_allclose(dev, host, atol=2e-5)
+
+    def test_all_invalid_is_zero(self, rng):
+        import jax
+
+        from txr.geometry.appearance import appearance_sketch_jax
+
+        desc = _fake_desc(rng, 64)
+        dev = np.asarray(jax.jit(appearance_sketch_jax)(
+            np.asarray(desc), np.zeros(64, bool)))
+        assert np.all(dev == 0)

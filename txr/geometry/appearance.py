@@ -76,3 +76,33 @@ def appearance_scores(sketches: np.ndarray, query: np.ndarray) -> np.ndarray:
     if sketches.size == 0:
         return np.zeros(0, np.float32)
     return np.asarray(sketches, np.float32) @ np.asarray(query, np.float32)
+
+
+def appearance_sketch_jax(desc, mask):
+    """Device-side appearance_sketch: same math, scatter-free.
+
+    The fused streaming paths keep keyframe descriptors device-resident
+    (fetching the (capacity, 128) f32 block costs MBs of D2H per keyframe);
+    only this (N_ANCHORS*D,) sketch crosses to the host for candidate
+    retrieval. The per-anchor residual accumulation is expressed as a
+    one-hot matmul (MXU) instead of np.add.at (scatter — slow on TPU).
+    Matches appearance_sketch up to float summation order.
+    """
+    import jax.numpy as jnp
+
+    desc = desc.astype(jnp.float32)
+    dim = desc.shape[1]
+    anchors = jnp.asarray(_anchors(dim))                     # (K, D)
+    m = mask.astype(jnp.float32)                             # (N,)
+    norms = jnp.linalg.norm(desc, axis=1, keepdims=True)
+    d = desc / jnp.maximum(norms, 1e-12)
+    assign = jnp.argmax(d @ anchors.T, axis=1)               # (N,)
+    onehot = ((assign[:, None] == jnp.arange(N_ANCHORS)[None, :])
+              .astype(jnp.float32) * m[:, None])             # (N, K)
+    # sum over assigned rows of (d_i - anchor_k), per anchor k
+    sk = onehot.T @ d - onehot.sum(axis=0)[:, None] * anchors  # (K, D)
+    cn = jnp.linalg.norm(sk, axis=1, keepdims=True)
+    sk = jnp.where(cn > 1e-12, sk / jnp.maximum(cn, 1e-12), sk)
+    flat = sk.ravel()
+    n = jnp.linalg.norm(flat)
+    return jnp.where(n > 1e-12, flat / jnp.maximum(n, 1e-12), flat)
