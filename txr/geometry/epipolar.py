@@ -48,9 +48,14 @@ def _homogeneous(pts: jnp.ndarray) -> jnp.ndarray:
 
 
 def _smallest_eigvec(M: jnp.ndarray) -> jnp.ndarray:
-    """Eigenvector of symmetric M with the smallest eigenvalue."""
-    _, vecs = jnp.linalg.eigh(M)
-    return vecs[..., 0]
+    """Eigenvector of symmetric M with the smallest eigenvalue.
+
+    Fixed-sweep Jacobi (txr/ops/eigsmall.py), not jnp.linalg.eigh: the
+    RANSAC hot path calls this vmapped over ~1k tiny 9x9 normals, where
+    eigh's while-loop QDWH lowering is latency-bound on TPU."""
+    from txr.ops.eigsmall import smallest_eigvec
+
+    return smallest_eigvec(M)
 
 
 def eight_point(pts1: jnp.ndarray, pts2: jnp.ndarray,
@@ -82,7 +87,9 @@ def eight_point(pts1: jnp.ndarray, pts2: jnp.ndarray,
     F0 = f.reshape(3, 3)
 
     # Rank-2 enforcement by zeroing the smallest singular value.
-    U, S, Vt = jnp.linalg.svd(F0)
+    from txr.ops.eigsmall import svd3
+
+    U, S, Vt = svd3(F0)
     S = S.at[2].set(0.0)
     F0 = (U * S[None, :]) @ Vt
 
@@ -183,7 +190,9 @@ def essential_ransac(
     def solve(i):
         Fh = eight_point(n1[i], n2[i])
         # Project to the essential manifold: singular values (1, 1, 0).
-        U, S, Vt = jnp.linalg.svd(Fh)
+        from txr.ops.eigsmall import svd3
+
+        U, S, Vt = svd3(Fh)
         return (U * jnp.array([1.0, 1.0, 0.0], Fh.dtype)[None, :]) @ Vt
 
     E_hyp = jax.vmap(solve)(idx)
@@ -194,7 +203,9 @@ def essential_ransac(
 
     best_inliers = inl[best]
     F_refit = eight_point(n1, n2, best_inliers.astype(pts1.dtype))
-    U, S, Vt = jnp.linalg.svd(F_refit)
+    from txr.ops.eigsmall import svd3
+
+    U, S, Vt = svd3(F_refit)
     E_refit = (U * jnp.array([1.0, 1.0, 0.0], F_refit.dtype)[None, :]) @ Vt
     use_refit = jnp.sum(best_inliers) >= 8
     E = jnp.where(use_refit, E_refit, E_hyp[best])

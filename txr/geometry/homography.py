@@ -44,9 +44,12 @@ def homography_dlt(pts1: jnp.ndarray, pts2: jnp.ndarray,
     r1 = jnp.concatenate([zero, -p1, p2[:, 1:2] * p1], axis=1)
     r2 = jnp.concatenate([p1, zero, -p2[:, 0:1] * p1], axis=1)
     A = jnp.concatenate([r1 * w[:, None], r2 * w[:, None]], axis=0)  # (2N, 9)
-    _, vecs = jnp.linalg.eigh(A.T @ A)
-    Hn = vecs[:, 0].reshape(3, 3)
-    H = jnp.linalg.inv(T2) @ Hn @ T1
+    from txr.ops.eigsmall import smallest_eigvec
+
+    Hn = smallest_eigvec(A.T @ A).reshape(3, 3)
+    from txr.ops.eigsmall import inv3
+
+    H = inv3(T2) @ Hn @ T1
     return H / jnp.where(jnp.abs(H[2, 2]) > _EPS, H[2, 2], 1.0)
 
 
@@ -56,7 +59,9 @@ def transfer_error(H: jnp.ndarray, pts1: jnp.ndarray,
     p1 = _homogeneous(pts1)
     p2 = _homogeneous(pts2)
     q2 = p1 @ H.T
-    q1 = p2 @ jnp.linalg.inv(H).T
+    from txr.ops.eigsmall import inv3
+
+    q1 = p2 @ inv3(H).T
     z2 = jnp.where(jnp.abs(q2[:, 2:3]) > _EPS, q2[:, 2:3], _EPS)
     z1 = jnp.where(jnp.abs(q1[:, 2:3]) > _EPS, q1[:, 2:3], _EPS)
     e12 = jnp.sum((q2[:, :2] / z2 - pts2) ** 2, axis=-1)
@@ -102,7 +107,9 @@ def decompose_homography(H: jnp.ndarray, K: jnp.ndarray):
     """
     dt = H.dtype
     A = jnp.linalg.inv(K.astype(dt)) @ H @ K.astype(dt)
-    U, S, Vt = jnp.linalg.svd(A)
+    from txr.ops.eigsmall import svd3
+
+    U, S, Vt = svd3(A)
     s = jnp.linalg.det(U) * jnp.linalg.det(Vt)
     d1, d2, d3 = S[0], S[1], S[2]
 

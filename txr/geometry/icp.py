@@ -64,8 +64,12 @@ def estimate_normals(xyz: jnp.ndarray, mask: jnp.ndarray, k: int = 8) -> jnp.nda
     mean = jnp.mean(nbrs, axis=1, keepdims=True)
     c = nbrs - mean
     cov = jnp.einsum("nki,nkj->nij", c, c) / k
-    _, vecs = jnp.linalg.eigh(cov)
-    normals = vecs[:, :, 0]                          # smallest eigenvector
+    # Batched tiny 3x3 eigensolve: fixed-sweep Jacobi (txr/ops/eigsmall.py)
+    # instead of eigh's while-loop lowering — this runs over the full ICP
+    # target sample every streaming batch.
+    from txr.ops.eigsmall import smallest_eigvec
+
+    normals = smallest_eigvec(cov)
     return jnp.where(mask[:, None], normals, 0.0)
 
 

@@ -17,7 +17,9 @@ from txr.geometry.triangulate import triangulate
 
 def decompose_essential(E: jnp.ndarray):
     """E → (R1, R2, t) candidate building blocks."""
-    U, _, Vt = jnp.linalg.svd(E)
+    from txr.ops.eigsmall import svd3
+
+    U, _, Vt = svd3(E)
     # Keep proper rotations.
     Vt = jnp.where(jnp.linalg.det(U @ Vt) < 0, -Vt, Vt)
     W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)

@@ -20,8 +20,9 @@ def _dlt_single(P1, P2, pt1, pt2):
         pt2[0] * P2[2] - P2[0],
         pt2[1] * P2[2] - P2[1],
     ])
-    _, vecs = jnp.linalg.eigh(A.T @ A)
-    X = vecs[:, 0]
+    from txr.ops.eigsmall import smallest_eigvec
+
+    X = smallest_eigvec(A.T @ A)
     w = X[3]
     return jnp.where(jnp.abs(w) > 1e-12, X[:3] / jnp.where(jnp.abs(w) > 1e-12, w, 1.0),
                      jnp.full(3, jnp.inf, X.dtype))
