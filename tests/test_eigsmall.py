@@ -26,6 +26,20 @@ class TestEighJacobi:
         eye = np.broadcast_to(np.eye(d, dtype=np.float32), V.shape)
         np.testing.assert_allclose(V.transpose(0, 2, 1) @ V, eye, atol=1e-4)
 
+    def test_exact_diagonal_tie(self):
+        """ADVICE r3 (high): a_pp == a_qq exactly with a_pq != 0 made
+        sign(tau) = 0 skip the rotation every sweep — eigh_jacobi returned
+        the (wrong) diagonal unchanged. The tie must rotate at 45 degrees."""
+        M = np.array([[2.0, 0.9, 0.0],
+                      [0.9, 2.0, 0.0],
+                      [0.0, 0.0, 5.0]], np.float32)[None]
+        w, V = jax.jit(eigh_jacobi)(jnp.asarray(M))
+        got = np.sort(np.asarray(w)[0])
+        np.testing.assert_allclose(got, [1.1, 2.9, 5.0], atol=1e-5)
+        np.testing.assert_allclose(M[0] @ np.asarray(V)[0],
+                                   np.asarray(V)[0] * np.asarray(w)[0][None],
+                                   atol=1e-4)
+
     @pytest.mark.parametrize("d", [4, 9])
     def test_eigenvalues_match_numpy(self, rng, d):
         M = _sym(rng, 32, d)

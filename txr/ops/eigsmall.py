@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from txr.core.precision import f32_dots
+
 _SWEEPS = 6
 
 
@@ -35,7 +37,12 @@ def _rotate(A, V, p: int, q: int):
     # tan(2θ) = 2 a_pq / (a_qq - a_pp); stable single-rotation form.
     small = jnp.abs(apq) <= 1e-30 * (jnp.abs(app) + jnp.abs(aqq) + 1e-30)
     tau = (aqq - app) / jnp.where(small, 1.0, 2.0 * apq)
-    t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+    # Zero-safe sign: jnp.sign(0) == 0 would skip the rotation entirely when
+    # a_pp == a_qq exactly with a_pq != 0 (reachable from structured data —
+    # regular grids, synthetic scenes), silently returning wrong eigenpairs.
+    # tau == 0 must rotate with t = 1 (the standard 45-degree rotation).
+    sgn = jnp.where(tau >= 0.0, 1.0, -1.0)
+    t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
     t = jnp.where(small, 0.0, t)
     c = 1.0 / jnp.sqrt(1.0 + t * t)
     s = t * c
@@ -54,6 +61,7 @@ def _rotate(A, V, p: int, q: int):
     return A, V
 
 
+@f32_dots
 def eigh_jacobi(M: jnp.ndarray, sweeps: int = _SWEEPS):
     """Eigendecomposition of symmetric M (..., d, d), d small and static.
 
@@ -72,6 +80,7 @@ def eigh_jacobi(M: jnp.ndarray, sweeps: int = _SWEEPS):
     return w, V
 
 
+@f32_dots
 def smallest_eigvec(M: jnp.ndarray, sweeps: int = _SWEEPS) -> jnp.ndarray:
     """Unit eigenvector of the smallest eigenvalue of symmetric M (..., d, d).
 
@@ -83,6 +92,7 @@ def smallest_eigvec(M: jnp.ndarray, sweeps: int = _SWEEPS) -> jnp.ndarray:
     return jnp.take_along_axis(V, idx[..., None, None], axis=-1)[..., 0]
 
 
+@f32_dots
 def svd3(F: jnp.ndarray, sweeps: int = _SWEEPS):
     """SVD of (..., 3, 3) via two-sided Jacobi eigensolves.
 
