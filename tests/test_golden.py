@@ -21,7 +21,18 @@ CX, CY = W / 2.0, H / 2.0
 
 
 def build_scene(tmpdir):
-    """Two-layer textured scene, 3 cameras — fully deterministic."""
+    """Two-layer textured scene, 3 cameras — fully deterministic.
+
+    KNIFE EDGE (VERDICT r3 weak #1): the background plane's world z is
+    5.0/6 * scale = 50.0 at the analytic scale 60 — exactly the strict `<`
+    max_depth cutoff at the default 50. A ±0.05% drift in the recovered
+    scale flips the entire far plane in and out of the cloud (round-3
+    numeric changes moved scale 59.97→60.03, the background vanished, and
+    the remaining planar cloud hit the grid-outlier sentinel collapse).
+    The scene geometry itself is kept (changing plane depths re-conditions
+    pose recovery and shifted both backends' scale estimates by 1-2%);
+    instead run_pipeline sets max_depth=60 so the far plane sits 17%
+    inside the cutoff."""
     rng = np.random.default_rng(42)
     fg = cv2.resize(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8),
                     (512, 512), interpolation=cv2.INTER_NEAREST)
@@ -59,7 +70,8 @@ def run_pipeline(tmpdir, feature_backend="cv2"):
 
     rgb_dir, depth_dir = build_scene(tmpdir)
     cfg = ReconstructionConfig(fx=FX, fy=FY, cx=CX, cy=CY,
-                               voxel_size=0.05, subsample_factor=4)
+                               voxel_size=0.05, subsample_factor=4,
+                               max_depth=60.0)  # see build_scene docstring
     pipe = DepthToReconstructionPipeline(cfg, feature_capacity=4096,
                                          verbose=False,
                                          feature_backend=feature_backend)
@@ -81,6 +93,14 @@ class TestGolden:
 
         points, _ = run_pipeline(str(tmp_path), feature_backend=backend)
         gold, _ = read_ply(GOLDEN)
+        # VERDICT r3 #1 regression pin: the post-merge cloud must never be
+        # (near-)empty on either backend — round 3 shipped a grid-outlier
+        # sentinel collapse that silently zeroed the cv2 path's output.
+        assert len(points) > 1000, f"{backend}: post-merge cloud collapsed"
+        # Both planes present: the scene's far plane must not be culled at
+        # max_depth (z spans 25 → 50 at the analytic scale).
+        zspan = points[:, 2].max() - points[:, 2].min()
+        assert zspan > 15.0, f"{backend}: far plane missing (zspan={zspan})"
         d = chamfer_distance(points, gold)
         scene = float(np.percentile(gold[:, 2], 85))
         if backend == "cv2":
@@ -99,6 +119,17 @@ class TestGolden:
 
 if __name__ == "__main__":
     import tempfile
+
+    import jax
+
+    # Regenerate on the CPU backend (same as the test suite's conftest):
+    # the axon TPU relay would remote-compile every program for a one-off
+    # fixture build, and the committed golden must match what tests compute.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), os.pardir,
+                                   ".jax_cache_cpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from txr.io.ply import write_ply
 

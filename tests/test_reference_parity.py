@@ -27,8 +27,13 @@ REF_CLI = "/root/reference/depth_to_reconstruction.py"
 REF_ENH = "/root/reference/depth_enhanced_reconstruction.py"
 REF_DP = "/root/reference/depth_processor.py"
 
-pytestmark = pytest.mark.skipif(not os.path.exists(REF_CLI),
-                                reason="reference checkout not mounted")
+pytestmark = [
+    pytest.mark.skipif(not os.path.exists(REF_CLI),
+                       reason="reference checkout not mounted"),
+    # Black-box subprocess runs of the reference CLI take minutes each:
+    # slow tier (run once per round, see pyproject [tool.pytest.ini_options]).
+    pytest.mark.slow,
+]
 
 
 def _load_reference_module(path, name):
@@ -136,8 +141,14 @@ class TestReferenceParity:
         from txr.pipelines.fusion_pipeline import DepthToReconstructionPipeline
         from txr.io.ply import read_ply
 
+        # max_depth=60: the scene's far plane sits at world z = 50.0 =
+        # exactly the default cutoff, so the recovered scale's float noise
+        # decides its fate (see tests/test_golden.build_scene). The
+        # reference run above keeps its own default (50) — dropping the far
+        # plane is its documented degeneracy on this scene.
         cfg = ReconstructionConfig(fx=FX, fy=FY, cx=CX, cy=CY,
-                                   voxel_size=0.05, subsample_factor=4)
+                                   voxel_size=0.05, subsample_factor=4,
+                                   max_depth=60.0)
         pipe = DepthToReconstructionPipeline(cfg, feature_capacity=4096,
                                              verbose=False)
         pipe.load_data(rgb, dep)
