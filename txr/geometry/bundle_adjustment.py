@@ -29,6 +29,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from txr.core.precision import f32_dots
+
 from txr.geometry.icp import _so3_exp
 
 
@@ -70,6 +72,7 @@ def _huber_weight(r, delta):
 
 
 @partial(jax.jit, static_argnames=("iterations",))
+@f32_dots
 def bundle_adjust(problem: BAProblem, K: jnp.ndarray, iterations: int = 10,
                   damping: float = 1e-3, huber_delta: float = 4.0):
     """Refine poses and points by alternating GN. Returns

@@ -19,6 +19,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from txr.core.precision import f32_dots
+
 _EPS = 1.0e-12
 
 
@@ -111,6 +113,7 @@ def sampson_error(F: jnp.ndarray, pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.n
 
 
 @partial(jax.jit, static_argnames=("num_hypotheses",))
+@f32_dots
 def fundamental_ransac(
     pts1: jnp.ndarray,
     pts2: jnp.ndarray,
@@ -158,6 +161,7 @@ def fundamental_ransac(
 
 
 @partial(jax.jit, static_argnames=("num_hypotheses",))
+@f32_dots
 def essential_ransac(
     pts1: jnp.ndarray,
     pts2: jnp.ndarray,

@@ -23,6 +23,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from txr.core.precision import f32_dots
+
 from txr.geometry.epipolar import _homogeneous, normalize_transform
 from txr.geometry.triangulate import triangulate
 
@@ -70,6 +72,7 @@ def transfer_error(H: jnp.ndarray, pts1: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("num_hypotheses",))
+@f32_dots
 def homography_ransac(pts1: jnp.ndarray, pts2: jnp.ndarray, mask: jnp.ndarray,
                       key: jax.Array, threshold: float = 3.0,
                       num_hypotheses: int = 1024):
@@ -158,6 +161,7 @@ def decompose_homography(H: jnp.ndarray, K: jnp.ndarray):
 
 
 @jax.jit
+@f32_dots
 def recover_pose_homography(H: jnp.ndarray, pts1: jnp.ndarray,
                             pts2: jnp.ndarray, K: jnp.ndarray,
                             mask: jnp.ndarray):

@@ -19,6 +19,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from txr.core.precision import f32_dots
+
 # Python float, NOT np.float32: np-scalar module constants become device
 # ArrayImpls under jax 0.9 (globally cached), get captured as lifted
 # consts in later traces, and the C++ jit fastpath then drops them on
@@ -47,6 +49,7 @@ def _so3_exp(w: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("k",))
+@f32_dots
 def estimate_normals(xyz: jnp.ndarray, mask: jnp.ndarray, k: int = 8) -> jnp.ndarray:
     """Per-point normals from the k-NN covariance's smallest eigenvector.
 
@@ -74,6 +77,7 @@ def estimate_normals(xyz: jnp.ndarray, mask: jnp.ndarray, k: int = 8) -> jnp.nda
 
 
 @partial(jax.jit, static_argnames=("iterations", "chunk"))
+@f32_dots
 def icp_point_to_plane(
     src_xyz: jnp.ndarray,
     src_mask: jnp.ndarray,

@@ -12,6 +12,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from txr.core.precision import f32_dots
+
 from txr.geometry.triangulate import triangulate
 
 
@@ -32,6 +34,7 @@ def decompose_essential(E: jnp.ndarray):
 
 
 @jax.jit
+@f32_dots
 def recover_pose(E: jnp.ndarray, pts1: jnp.ndarray, pts2: jnp.ndarray,
                  K: jnp.ndarray, mask: jnp.ndarray):
     """Cheirality-voted pose from E.

@@ -19,6 +19,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from txr.core.precision import f32_dots
+
 # One shared jacfwd-safe so(3) exponential for the whole geometry stack
 # (Taylor branch at w=0); a second local reimplementation was a duplicated
 # numerical edge case [code-review r2].
@@ -58,6 +60,7 @@ def _sampson(E, n1, n2):
 
 
 @partial(jax.jit, static_argnames=("iters",))
+@f32_dots
 def refine_pose(R0: jnp.ndarray, t0: jnp.ndarray, uv1: jnp.ndarray,
                 uv2: jnp.ndarray, K: jnp.ndarray, mask: jnp.ndarray,
                 iters: int = 10, damping: float = 1e-6):

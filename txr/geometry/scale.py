@@ -23,6 +23,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from txr.core.precision import f32_dots
+
 
 @jax.jit
 def masked_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -42,6 +44,7 @@ def masked_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit,
          static_argnames=("min_points", "min_valid", "per_sample_clamp"))
+@f32_dots
 def estimate_scale(
     sparse_xyz_cam: jnp.ndarray,
     sparse_uv: jnp.ndarray,

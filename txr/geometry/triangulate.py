@@ -12,6 +12,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from txr.core.precision import f32_dots
+
 
 def _dlt_single(P1, P2, pt1, pt2):
     A = jnp.stack([
@@ -29,6 +31,7 @@ def _dlt_single(P1, P2, pt1, pt2):
 
 
 @jax.jit
+@f32_dots
 def triangulate(P1: jnp.ndarray, P2: jnp.ndarray,
                 pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.ndarray:
     """Triangulate correspondences.
@@ -44,6 +47,7 @@ def triangulate(P1: jnp.ndarray, P2: jnp.ndarray,
 
 
 @jax.jit
+@f32_dots
 def reprojection_error(P: jnp.ndarray, X: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Pixel reprojection error of world points X (N,3) under P (3,4). (N,)"""
     Xh = jnp.concatenate([X, jnp.ones_like(X[:, :1])], axis=-1)
@@ -55,6 +59,7 @@ def reprojection_error(P: jnp.ndarray, X: jnp.ndarray, pts: jnp.ndarray) -> jnp.
 
 
 @jax.jit
+@f32_dots
 def depth_in_camera(R: jnp.ndarray, t: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
     """Z coordinate of world points in the camera frame (R, t world→cam). (N,)"""
     return X @ R[2, :] + t[2]

@@ -20,6 +20,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from txr.core.precision import f32_dots
+
 # Python float, NOT np.float32: np-scalar module constants become device
 # ArrayImpls under jax 0.9 (globally cached), get captured as lifted
 # consts in later traces, and the C++ jit fastpath then drops them on
@@ -29,6 +31,7 @@ _BIG = 3.0e38
 
 
 @partial(jax.jit, static_argnames=())
+@f32_dots
 def match_l2_ratio(
     desc1: jnp.ndarray,
     desc2: jnp.ndarray,
@@ -72,6 +75,7 @@ def match_l2_ratio(
 
 
 @partial(jax.jit, static_argnames=())
+@f32_dots
 def match_hamming_ratio(
     bits1: jnp.ndarray,
     bits2: jnp.ndarray,

@@ -30,6 +30,7 @@ except ImportError:  # pragma: no cover
     cv2 = None
 
 from txr.core.types import PointSet
+from txr.core.precision import f32_dots
 from txr.geometry.hybrid import HybridFeatureDetector, DepthGuidedMatcher
 from txr.geometry.epipolar import fundamental_ransac
 from txr.geometry.scale import estimate_scale, clamp_scale
@@ -54,6 +55,7 @@ _voxel_downsample_raw = _raw(voxel_downsample)
 # fusion_pipeline._pairs_batch for the rationale) ---------------------------
 
 @jax.jit
+@f32_dots
 def _enh_pairs_batch(a, b, m, K, keys_f, keys_p):
     """RANSAC-F + pose/structure for every pair in one program.
 
@@ -77,6 +79,7 @@ def _enh_pairs_batch(a, b, m, K, keys_f, keys_p):
 
 
 @jax.jit
+@f32_dots
 def _enh_scales_batch(X, valid, b_uv, depths, R_prev, t_prev):
     """World-frame sparse points + per-view scale estimates, batched."""
 

@@ -30,6 +30,7 @@ except ImportError:  # pragma: no cover
     cv2 = None
 
 from txr.core.config import ReconstructionConfig
+from txr.core.precision import f32_dots
 from txr.core.types import PointSet
 from txr.geometry.epipolar import essential_ransac
 from txr.geometry.pose import recover_pose
@@ -46,6 +47,7 @@ from txr.ops.voxel import voxel_downsample
 
 
 @partial(jax.jit, static_argnames=("num_hypotheses",))
+@f32_dots
 def pair_step(
     uv1: jnp.ndarray,
     uv2: jnp.ndarray,
@@ -142,6 +144,7 @@ def pair_step(
 
 
 @jax.jit
+@f32_dots
 def sparse_to_world(X: jnp.ndarray, valid: jnp.ndarray,
                     R_prev: jnp.ndarray, t_prev: jnp.ndarray):
     """Triangulated points (prev-camera frame) → world, with the reference's
@@ -234,6 +237,7 @@ def _scales_views(X, valid, uv2, R_prev, t_prev, depths_next):
 
 
 @jax.jit
+@f32_dots
 def _scales_batch(X, valid, uv1, uv2, depths, R_prev, t_prev):
     """Init-pair scales + per-view world-frame scales in one program.
 
