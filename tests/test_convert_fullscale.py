@@ -17,6 +17,10 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# Full ViT-L/vitg-scale converter builds take minutes on the 1-CPU test
+# box: slow tier (run once per round).
+pytestmark = pytest.mark.slow
+
 from txr.models.vit import ViTConfig
 from txr.models.dpt import DPTConfig
 from txr.models.depth_anything import DepthAnythingFlax, build_model
