@@ -78,6 +78,14 @@ class StreamingConfig:
     # every-loop_stride-th scan.
     loop_topk: int = 4
     loop_min_similarity: float = 0.05  # sketch score gate for candidates
+    # Bounded session memory (rtabmap's Mem/IncrementalMemory WM/LTM split,
+    # slam.launch.py:126-145): only the newest kf_working_set keyframes keep
+    # device-resident features+clouds (~2.5 MB HBM each); older keyframes
+    # spill to host RAM. Appearance sketches always stay host-side, so loop
+    # retrieval spans the WHOLE session; a spilled candidate that passes the
+    # appearance gate is re-uploaded for geometric verification. 0 disables
+    # spilling (unbounded HBM growth — short sessions only).
+    kf_working_set: int = 64
     # Map re-fuse after graph optimization is skipped when every keyframe
     # camera center moved less than this (meters); None → voxel_size (the
     # map is already consistent to within one cell).

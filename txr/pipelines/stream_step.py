@@ -335,7 +335,7 @@ def build_fused_stream_batch_step(model, intr, cfg, *, h: int, w: int,
     semantics (same key stream, same skip rules, same EMA updates), and a
     single map insert of all fused frames' points at the end.
 
-    Two documented semantic deltas vs the per-frame step:
+    Three documented semantic deltas vs the per-frame step:
       - ICP registers each frame against the map AS OF THE BATCH START
         (its target sample + normals are computed once per batch), so a
         frame does not see points inserted by earlier frames of the same
@@ -343,6 +343,15 @@ def build_fused_stream_batch_step(model, intr, cfg, *, h: int, w: int,
         the scan.
       - The map insert is one batched merge; per-voxel sums are identical
         to per-frame inserts up to float summation order.
+      - A mid-batch loop closure that triggers a map REBUILD replaces the
+        map with the keyframe-only re-fusion (streaming._rebuild_map) AFTER
+        the whole batch was already inserted: the non-keyframe frames of
+        that batch lose their (density-only) map contribution until the
+        next insert, where the per-frame step would have inserted them into
+        the rebuilt map (ADVICE r3). Keyframe clouds — the geometry the
+        rebuild is built from — are unaffected; at the default
+        keyframe_every=5 and stream_batch=8 this costs at most 7 frames of
+        densification per rebuilding closure.
 
     step(params, state, frames_u8 (B,H,W,3), n_valid) -> (state', diag).
     Frames at index >= n_valid are padding: they never fuse, never touch
