@@ -51,9 +51,36 @@ def log(msg):
 # lower bound on host work. The floor is measured fresh per run (it drifts).
 
 
+def relay_probe():
+    """Point-in-time relay health: sync floor + H2D/D2H bandwidth on a 4 MB
+    array. Every config records this at its start so stage splits can be
+    read against the relay state they were measured under (VERDICT r3 #3:
+    a 0.3 MB/s relay makes staging-inclusive 'device' times meaningless)."""
+    import jax
+    import jax.numpy as jnp
+
+    one = jnp.ones((8,), jnp.float32)
+    float(jnp.sum(one))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(jnp.sum(one))
+    floor = (time.perf_counter() - t0) / 5 * 1000.0
+    buf = np.ones((1 << 20,), np.float32)  # 4 MB
+    t0 = time.perf_counter()
+    d = jax.device_put(buf)
+    float(jnp.sum(d[:8]))
+    h2d = 4.0 / max(time.perf_counter() - t0 - floor / 1000.0, 1e-6)
+    t0 = time.perf_counter()
+    np.asarray(d)
+    d2h = 4.0 / max(time.perf_counter() - t0, 1e-6)
+    return {"sync_floor_ms": round(floor, 1), "h2d_MBps": round(h2d, 1),
+            "d2h_MBps": round(d2h, 1)}
+
+
 class SplitTimer:
     def __init__(self):
         self.acc = {}
+        self.host_acc = {}
         import jax
         import jax.numpy as jnp
 
@@ -81,17 +108,37 @@ class SplitTimer:
             return out
         return w
 
+    def wrap_host(self, fn, name):
+        """Wall-clock a HOST stage (no device sync, no floor subtraction) —
+        artifact writes, codecs, D2H pulls that happen inside the stage."""
+        def w(*a, **k):
+            t0 = time.perf_counter()
+            out = fn(*a, **k)
+            dt = (time.perf_counter() - t0) * 1000.0
+            ms, cnt = self.host_acc.get(name, (0.0, 0))
+            self.host_acc[name] = (ms + dt, cnt + 1)
+            return out
+        return w
+
+    host_acc: dict
+
     def split(self, total_s: float, frames: int):
         dev_ms = sum(ms for ms, _ in self.acc.values())
         per_frame = {k: round(ms / frames, 1) for k, (ms, _) in
                      sorted(self.acc.items(), key=lambda kv: -kv[1][0])}
+        host_acc = getattr(self, "host_acc", {})
+        host_stages = {k: round(ms / frames, 1) for k, (ms, _) in
+                       sorted(host_acc.items(), key=lambda kv: -kv[1][0])}
         total_pf = total_s * 1000.0 / frames
-        return {
+        out = {
             "device_ms_per_frame": round(dev_ms / frames, 1),
             "host_ms_per_frame": round(max(total_pf - dev_ms / frames, 0.0), 1),
             "device_stages_ms_per_frame": per_frame,
             "sync_floor_ms": round(self.floor_ms, 1),
         }
+        if host_stages:
+            out["host_stages_ms_per_frame"] = host_stages
+        return out
 
 
 def synth_scene(root, n=12, w=640, h=480):
@@ -127,6 +174,8 @@ def synth_scene(root, n=12, w=640, h=480):
 def config1_fusion_only(results):
     from txr.core.config import ReconstructionConfig
     from txr.pipelines.fusion_pipeline import DepthToReconstructionPipeline
+
+    relay = relay_probe()
 
     with tempfile.TemporaryDirectory() as td:
         rgb, dep, (fx, fy, cx, cy) = synth_scene(td, n=12)
@@ -170,6 +219,7 @@ def config1_fusion_only(results):
                 setattr(fp, k, v)
     results["fusion_only_640x480"] = {
         "frames": n, "seconds": round(dt, 2), "fps": round(n / dt, 2),
+        "relay": relay,
         "compile_overhead_s": round(cold - dt, 1),
         "points": 0 if pts is None else int(len(pts)),
         **st.split(dt, n)}
@@ -187,6 +237,8 @@ def config2_depth_images(results):
     import cv2
     from txr.io.sources import FolderSource
     from txr.pipelines.depth_pipeline import DepthProcessor
+
+    relay = relay_probe()
 
     model = _vits_model()
     with tempfile.TemporaryDirectory() as td:
@@ -212,13 +264,16 @@ def config2_depth_images(results):
         dt = time.perf_counter() - t0
         n = n if isinstance(n, int) and n else 85
     results["depth_images_vits_tunnel1"] = {
-        "frames": n, "seconds": round(dt, 2), "fps": round(n / dt, 2)}
+        "frames": n, "seconds": round(dt, 2), "fps": round(n / dt, 2),
+        "relay": relay}
     log(f"config2 depth images vits: {n} frames in {dt:.1f}s = {n/dt:.2f} fps")
 
 
 def config3_enhanced_e2e(results):
     import cv2
     from txr.pipelines.enhanced_pipeline import DepthEnhancedReconstruction
+
+    relay = relay_probe()
 
     model = _vits_model()
     with tempfile.TemporaryDirectory() as td:
@@ -275,6 +330,7 @@ def config3_enhanced_e2e(results):
             model.infer_batch, model.infer = saved_infer
     results["enhanced_e2e_vits_640x480"] = {
         "frames": n, "seconds": round(dt, 2), "fps": round(n / dt, 2),
+        "relay": relay,
         "compile_overhead_s": round(cold - dt, 1),
         "points": 0 if result is None else int(len(result[0])),
         **st.split(dt, n)}
@@ -286,6 +342,8 @@ def config4_v3_metric_video(results):
     import cv2
     from txr.io.sources import VideoSource
     from txr.pipelines.depth_pipeline import DepthProcessor
+
+    relay = relay_probe()
 
     model = _vits_model(version="v3", encoder="large", metric=True,
                         dataset="vkitti", max_depth=80.0)
@@ -309,20 +367,54 @@ def config4_v3_metric_video(results):
         dt = time.perf_counter() - t0
         n = n if isinstance(n, int) and n else len(files) // 2
 
-        # Profiled pass over a fresh replay of the same video.
+        # Profiled pass over a fresh replay of the same video. The round-3
+        # split recorded ONE opaque stage (fused_batch 3.3 s/frame,
+        # VERDICT r3 #7); now the host side is staged too: the batched
+        # drain's D2H pull (depths + points cross here), artifact writes
+        # (npy + colormap PNG + mm PNG + per-frame PLY), and video decode
+        # all land in host_stages_ms_per_frame.
         st = SplitTimer()
         src2 = VideoSource(vid, fps_mode="custom", fps_percent=50.0)
+        src2_iter_next = type(src2).__next__
         proc2 = DepthProcessor(model=model, source=src2,
                                output_dir=os.path.join(td, "prof"),
                                mode="both", pointcloud_downsample=4,
                                max_depth=80.0)
         orig = proc2._fused_batch_fn
-        proc2._fused_batch_fn = lambda *a: st.wrap(orig(*a), "fused_batch")
+
+        def staged(*a):
+            run = orig(*a)
+
+            def timed_run(params, images):
+                t0 = time.perf_counter()
+                out = run(params, images)
+                st._sync(out)
+                dt_ = (time.perf_counter() - t0) * 1000.0 - st.floor_ms
+                ms, c = st.acc.get("fused_batch", (0.0, 0))
+                st.acc["fused_batch"] = (ms + max(dt_, 0.0), c + 1)
+                # D2H drain measured as its own host stage (the batched
+                # path pulls depths + xyz/rgb/mask right after the program)
+                t0 = time.perf_counter()
+                pulled = jax.tree_util.tree_map(np.asarray, out)
+                ms, c = st.host_acc.get("d2h_drain", (0.0, 0))
+                st.host_acc["d2h_drain"] = (
+                    ms + (time.perf_counter() - t0) * 1000.0, c + 1)
+                return pulled
+
+            return timed_run
+
+        import jax
+
+        proc2._fused_batch_fn = staged
+        proc2._save_depth = st.wrap_host(proc2._save_depth, "save_depth_pngs")
+        proc2._save_pointcloud = st.wrap_host(proc2._save_pointcloud,
+                                              "save_ply")
         model.infer = st.wrap(model.infer, "infer_seq")
         n2 = proc2.process(show_preview=False)
         model.infer = model.__class__.infer.__get__(model)
     results["v3_metric_vkitti_video_50pct"] = {
         "frames": n, "seconds": round(dt, 2), "fps": round(n / dt, 2),
+        "relay": relay,
         **st.split(dt, max(n2 if isinstance(n2, int) else n, 1))}
     log(f"config4 v3 metric video: {n} frames in {dt:.1f}s = {n/dt:.2f} fps")
 
@@ -333,6 +425,7 @@ def config5_streaming(results):
     from txr.io.sources import FolderSource
     from txr.pipelines.streaming import StreamingReconstructor
 
+    relay = relay_probe()
     model = _vits_model()
     src = FolderSource(TUNNEL2)
     cfg = StreamingConfig(voxel_size=0.02, subsample_factor=2,
@@ -365,6 +458,7 @@ def config5_streaming(results):
     n2 = rec2.run(FolderSource(TUNNEL2), max_frames=40)
     results["streaming_folder_vits_tunnel2"] = {
         "frames": n, "seconds": round(dt, 2), "fps": round(n / dt, 2),
+        "relay": relay,
         "map_voxels": int(offset_map_size(rec.map)),
         "loops_closed": rec.loops_closed,
         **st.split(dt, max(n2, 1))}
@@ -411,23 +505,59 @@ def config6_streaming_pingpong(results):
         path = float(sum(np.linalg.norm(b - a) for a, b in zip(cs, cs[1:])))
         return float(np.linalg.norm(cs[-1] - cs[0])), path
 
-    out = {}
+    out = {"relay": relay_probe()}
     for name, lc in (("closure_on", True), ("closure_off", False)):
         cfg = StreamingConfig(voxel_size=0.02, subsample_factor=2,
                               max_depth=10.0, max_map_points=1 << 20,
                               loop_closure=lc)
         rec = StreamingReconstructor(folder.intrinsics, depth_model=model,
                                      config=cfg, verbose=False)
+        # Closure-stage attribution (VERDICT r3 #4: nothing recorded where
+        # the closure-on slowdown goes): wall-wrap the closure machinery.
+        stages = {}
+
+        def host_wrap(fn, sname):
+            def w(*a, **k):
+                t0_ = time.perf_counter()
+                r = fn(*a, **k)
+                stages[sname] = stages.get(sname, 0.0) + (
+                    time.perf_counter() - t0_)
+                return r
+            return w
+
+        if lc:
+            rec._try_loop_edge = host_wrap(rec._try_loop_edge, "loop_verify")
+            rec._rebuild_map = host_wrap(rec._rebuild_map, "map_rebuild")
+            rec._camera_cloud = host_wrap(rec._camera_cloud, "kf_cloud")
+            rec._close_loop = host_wrap(rec._close_loop,
+                                        "close_loop_total")
+            import txr.pipelines.streaming as sm
+            saved_opt = sm.optimize_pose_graph
+            sm.optimize_pose_graph = host_wrap(saved_opt, "pose_graph_solve")
         t0 = time.perf_counter()
         n = rec.run(ListSource(seq, folder.intrinsics))
         dt = time.perf_counter() - t0
+        if lc:
+            sm.optimize_pose_graph = saved_opt
         d, path = drift(rec)
-        out[name] = {"frames": n, "fps": round(n / dt, 2),
-                     "end_drift": round(d, 4),
-                     "drift_per_path": round(d / max(path, 1e-9), 4),
-                     "loops_closed": rec.loops_closed}
+        entry = {"frames": n, "fps": round(n / dt, 2),
+                 "end_drift": round(d, 4),
+                 "drift_per_path": round(d / max(path, 1e-9), 4),
+                 "loops_closed": rec.loops_closed}
+        if lc:
+            # close_loop_total double-counts its inner stages; report the
+            # solve/rebuild split and the residual separately.
+            inner = (stages.get("pose_graph_solve", 0.0)
+                     + stages.get("map_rebuild", 0.0))
+            entry["closure_stages_s"] = {
+                k: round(v, 2) for k, v in sorted(
+                    stages.items(), key=lambda kv: -kv[1])}
+            entry["closure_stages_s"]["close_loop_other"] = round(
+                max(stages.get("close_loop_total", 0.0) - inner, 0.0), 2)
+        out[name] = entry
         log(f"config6 pingpong {name}: {n} frames, drift {d:.4f} "
-            f"(path {path:.2f}), {rec.loops_closed} loops")
+            f"(path {path:.2f}), {rec.loops_closed} loops; stages "
+            f"{ {k: round(v,1) for k,v in stages.items()} }")
     results["streaming_pingpong_loop_tunnel2"] = out
 
 
