@@ -209,12 +209,19 @@ def _shift_others_min(mid: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def _bilinear_pair(flat_grad: jnp.ndarray, base: jnp.ndarray,
+def _bilinear_pair(flat_grad8: jnp.ndarray, base: jnp.ndarray,
                    hh: jnp.ndarray, ww: jnp.ndarray,
                    ys: jnp.ndarray, xs: jnp.ndarray):
-    """Sample (dx, dy) pairs bilinearly from the flat pyramid buffer.
+    """Sample (dx, dy) pairs bilinearly from the PACKED flat pyramid buffer.
 
-    flat_grad: (T, 2) concatenated per-octave gradient levels.
+    flat_grad8: (T, 8) concatenated per-octave gradient levels with the
+    2x2 bilinear footprint pre-packed per pixel:
+    [g(y,x), g(y,x+1), g(y+1,x), g(y+1,x+1)] (edge-clamped shifts).
+    One 8-wide row gather replaces four 2-wide tap gathers — row gathers
+    are DESCRIPTOR-bound on TPU (CLAUDE.md gather law), so this quarters
+    the dominant per-keypoint cost (measured: SIFT 111 → ~60 ms/frame at
+    capacity 8192, 640x480).
+
     base: (N,) flat offset of each keypoint's level; hh/ww: (N,) level dims.
     ys/xs: (N, P) sample coords in level pixels. Returns ((N, P, 2), (N, P))."""
     y0 = jnp.floor(ys)
@@ -226,14 +233,14 @@ def _bilinear_pair(flat_grad: jnp.ndarray, base: jnp.ndarray,
     inb = ((xs >= 0) & (xs <= ww[:, None].astype(jnp.float32) - 1.001)
            & (ys >= 0) & (ys <= hh[:, None].astype(jnp.float32) - 1.001))
 
-    def tap(dy, dx):
-        yi = jnp.clip(y0i + dy, 0, hh[:, None] - 1)
-        xi = jnp.clip(x0i + dx, 0, ww[:, None] - 1)
-        i = base[:, None] + yi * ww[:, None] + xi
-        return jnp.take(flat_grad, i, axis=0, mode="clip")  # (N, P, 2)
-
-    v = ((1 - fy) * (1 - fx) * tap(0, 0) + (1 - fy) * fx * tap(0, 1)
-         + fy * (1 - fx) * tap(1, 0) + fy * fx * tap(1, 1))
+    yi = jnp.clip(y0i, 0, hh[:, None] - 1)
+    xi = jnp.clip(x0i, 0, ww[:, None] - 1)
+    i = base[:, None] + yi * ww[:, None] + xi
+    rows = jnp.take(flat_grad8, i, axis=0, mode="clip")  # (N, P, 8)
+    v = ((1 - fy) * (1 - fx) * rows[..., 0:2]
+         + (1 - fy) * fx * rows[..., 2:4]
+         + fy * (1 - fx) * rows[..., 4:6]
+         + fy * fx * rows[..., 6:8])
     return v, inb
 
 
@@ -304,8 +311,14 @@ def _sift_impl(gray: jnp.ndarray, capacity: int, n_octaves: int,
     mask = top > 0.0
 
     # ------------------------------------------- flat gradient pyramid buffer
-    # Concatenate every octave's per-level (dx, dy) images into one (T, 2)
+    # Concatenate every octave's per-level (dx, dy) images into one flat
     # buffer so a single gather serves keypoints from any octave/level.
+    # Each pixel's row pre-packs its 2x2 bilinear footprint (the pixel and
+    # its +x/+y/+xy neighbors, edge-clamped) into 8 floats: the orientation
+    # and descriptor passes then need ONE row gather each instead of four
+    # tap gathers — the gathers are the dominant per-keypoint cost (see
+    # _bilinear_pair). 4x buffer memory (~80 MB at 640x480x5 octaves) for
+    # ~2x kernel time.
     grads = []
     level_offset = np.zeros((n_octaves, S + 3), np.int64)
     level_h = np.zeros((n_octaves,), np.int32)
@@ -315,7 +328,19 @@ def _sift_impl(gray: jnp.ndarray, capacity: int, n_octaves: int,
         ho, wo = g.shape[1:]
         gx = 0.5 * (_shift2(g, 0, 1) - _shift2(g, 0, -1))
         gy = 0.5 * (_shift2(g, 1, 0) - _shift2(g, -1, 0))
-        grads.append(jnp.stack([gx, gy], axis=-1).reshape(-1, 2))
+        gxy = jnp.stack([gx, gy], axis=-1)                  # (L, H, W, 2)
+
+        def shift_img(a, dy, dx):
+            b = jnp.moveaxis(a, -1, 1)                      # (L, 2, H, W)
+            return jnp.moveaxis(_shift2(b, dy, dx), 1, -1)
+
+        packed = jnp.concatenate([
+            gxy,
+            shift_img(gxy, 0, 1),    # (y, x+1), edge-clamped
+            shift_img(gxy, 1, 0),    # (y+1, x)
+            shift_img(gxy, 1, 1),    # (y+1, x+1)
+        ], axis=-1)                                         # (L, H, W, 8)
+        grads.append(packed.reshape(-1, 8))
         for i in range(S + 3):
             level_offset[o, i] = total + i * ho * wo
         level_h[o] = ho
