@@ -209,13 +209,26 @@ def main():
         "vs_baseline": round(fps / 30.0, 3),
     }
     # Sidecar: every run + the measured floor (stdout stays one line).
+    # Keyed by config so the random AND tunnel-frames headlines coexist
+    # (VERDICT r3 #6: the tunnel number was measured but never recorded).
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json"), "w") as f:
-            json.dump({**result, "runs_fps": [round(x, 2) for x in runs],
-                       "sync_floor_ms": round(floor_ms, 1),
-                       "batch": batch, "n_batches": n_batches,
-                       "map_voxels": n_voxels}, f, indent=1)
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_DETAIL.json")
+        detail = {}
+        try:
+            with open(path) as f:
+                detail = json.load(f)
+        except (OSError, ValueError):
+            detail = {}
+        if "configs" not in detail:
+            detail = {"configs": {}}
+        detail["configs"][f"{encoder}_{frames_kind}_wl{workload}"] = {
+            **result, "runs_fps": [round(x, 2) for x in runs],
+            "sync_floor_ms": round(floor_ms, 1),
+            "batch": batch, "n_batches": n_batches,
+            "map_voxels": n_voxels}
+        with open(path, "w") as f:
+            json.dump(detail, f, indent=1)
     except OSError:
         pass
     print(json.dumps(result))
