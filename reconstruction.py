@@ -51,6 +51,14 @@ def main():
     parser.add_argument('--no-icp', action='store_true',
                         help='Disable ICP refinement (feature odometry only)')
     parser.add_argument('--max-frames', type=int, default=None)
+    parser.add_argument('--no-grid', action='store_true',
+                        help='Skip the 2D occupancy grid artifact '
+                             '(<output>_grid.pgm/.yaml)')
+    parser.add_argument('--grid-cell', type=float, default=0.05,
+                        help='Occupancy grid cell size in meters')
+    parser.add_argument('--grid-range', type=float, default=5.0,
+                        help='Occupancy grid max range from trajectory '
+                             '(rtabmap Grid/RangeMax)')
     args = parser.parse_args()
 
     from txr.core.config import StreamingConfig
@@ -83,6 +91,11 @@ def main():
         print("No frames fused")
         raise SystemExit(1)
     rec.save(args.output)
+    if not args.no_grid:
+        import os
+        stem = os.path.splitext(args.output)[0] + "_grid"
+        rec.save_grid(stem, cell_size=args.grid_cell,
+                      range_max=args.grid_range)
 
 
 if __name__ == "__main__":

@@ -844,3 +844,23 @@ class StreamingReconstructor:
         write_ply(path, xyz, rgb)
         self._log(f"Saved {len(xyz)} points to {path}")
         return len(xyz)
+
+    def save_grid(self, path_stem: str, cell_size: float = 0.05,
+                  range_max: float = 5.0):
+        """Write the rtabmap-style 2D occupancy grid product (PGM + YAML).
+
+        Matches the second output of the reference's rtabmap_slam node
+        (slam.launch.py:126-145, Grid/RangeMax=5); the in-process mode owns
+        the map so it must emit this artifact itself."""
+        from txr.fusion.occupancy import occupancy_grid, write_occupancy_map
+        xyz, _ = offset_map_points(self.map).to_numpy()
+        centers = np.stack([-R.T @ t for R, t in self.poses], axis=0) \
+            if self.poses else None
+        grid, origin = occupancy_grid(xyz, camera_centers=centers,
+                                      cell_size=cell_size, range_max=range_max)
+        out = write_occupancy_map(path_stem, grid, origin, cell_size)
+        occ = int((grid == 100).sum())
+        free = int((grid == 0).sum())
+        self._log(f"Saved occupancy grid {grid.shape[1]}x{grid.shape[0]} "
+                  f"({occ} occupied, {free} free) to {out}")
+        return grid
