@@ -78,12 +78,16 @@ def _evict_stale(cache_dir: str, key: str) -> None:
 
 
 def load_params_cached(torch_path: str, model,
-                       cache_dir: str = DEFAULT_CACHE) -> Any:
+                       cache_dir: Optional[str] = None) -> Any:
     """Convert a torch checkpoint once; serve orbax-cached params afterwards.
 
     The cache key covers path+size+mtime_ns, so a replaced checkpoint file
-    invalidates its entry; older entries for the same source are evicted."""
+    invalidates its entry; older entries for the same source are evicted.
+    Cache location: `cache_dir` arg > $TXR_CKPT_CACHE > ~/.cache/txr."""
     from txr.models.convert import load_checkpoint
+
+    if cache_dir is None:
+        cache_dir = os.environ.get("TXR_CKPT_CACHE", DEFAULT_CACHE)
 
     key = _cache_key(torch_path, model)
     cache_path = os.path.join(cache_dir, key)
