@@ -35,6 +35,9 @@ from functools import partial
 
 import numpy as np
 
+# batch 24 measured best on v5e (29.10 FPS vs 27.86 @16, 28.31 @32).
+DEFAULT_BATCH = 24
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
@@ -64,7 +67,7 @@ def main():
     # batch 24 measured best on v5e: 29.10 FPS vs 27.86 @16 and 28.31 @32 —
     # the insert's fixed-cost compaction amortizes up to ~14M sort rows,
     # beyond which sort superlinearity wins (CLAUDE.md perf ledger).
-    batch = int(os.environ.get("TXR_BENCH_BATCH", "24"))
+    batch = int(os.environ.get("TXR_BENCH_BATCH", str(DEFAULT_BATCH)))
     n_batches = int(os.environ.get("TXR_BENCH_BATCHES", "6"))
     quant = os.environ.get("TXR_BENCH_QUANT", "none")
     frames_kind = os.environ.get("TXR_BENCH_FRAMES", "random")
@@ -222,7 +225,15 @@ def main():
             detail = {}
         if "configs" not in detail:
             detail = {"configs": {}}
-        detail["configs"][f"{encoder}_{frames_kind}_wl{workload}"] = {
+        # Non-default quant/batch runs get their own key so an --int8 or
+        # batch-sweep run never overwrites the bf16 headline entry
+        # [advice r4].
+        key = f"{encoder}_{frames_kind}_wl{workload}"
+        if quant != "none":
+            key += f"_{quant}"
+        if batch != DEFAULT_BATCH:
+            key += f"_b{batch}"
+        detail["configs"][key] = {
             **result, "runs_fps": [round(x, 2) for x in runs],
             "sync_floor_ms": round(floor_ms, 1),
             "batch": batch, "n_batches": n_batches,

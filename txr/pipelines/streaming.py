@@ -411,9 +411,14 @@ class StreamingReconstructor:
         rows_per_batch = max(1, 4_000_000 // max(self.cfg.kf_cloud_points, 1))
         for lo in range(0, len(self.keyframes), rows_per_batch):
             group = self.keyframes[lo:lo + rows_per_batch]
-            # Clouds are device-resident (camera frame); only the tiny pose
-            # stack crosses H2D. The old host path pulled every cloud D2H at
-            # keyframe time and re-uploaded all of them per closure.
+            # Working-set clouds are device-resident (camera frame) and only
+            # the tiny pose stack crosses H2D; keyframes OLDER than the
+            # working set were spilled to host numpy (_spill_old_keyframes)
+            # and re-upload here — the rebuild's H2D cost scales with the
+            # spilled count (~2.5 MB/keyframe through the relay) [advice
+            # r4]. Clouds stay in CAMERA frame on purpose: world-frame
+            # caching would go stale the moment a closure corrects poses,
+            # which is exactly when rebuilds happen.
             Rs = np.stack([self.poses[kf["pose_idx"]][0] for kf in group]
                           ).astype(np.float32)
             ts = np.stack([self.poses[kf["pose_idx"]][1] for kf in group]
