@@ -206,13 +206,16 @@ def config1_fusion_only(results):
             fp._scales_views = st.wrap(saved["_scales_views"], "scales")
             fp._dense_merge_batch_fn = lambda *a, **k: st.wrap(
                 saved["_dense_merge_batch_fn"](*a, **k), "dense_merge")
-            pipe3 = DepthToReconstructionPipeline(cfg, verbose=False)
-            pipe3.detector.detect = st.wrap(pipe3.detector.detect, "sift")
-            pipe3.detector.detect_batch = st.wrap(
-                pipe3.detector.detect_batch, "sift")
-            pipe3.load_data(rgb, dep)
+            # Profile the WARM pipe2 instance: detector jit programs are
+            # per-instance closures, so a fresh pipeline here retraces +
+            # cache-loads them inside the wrapped call and the "sift" stage
+            # absorbs seconds of compile machinery (r4 recorded 536 ms/frame
+            # vs the 37.8 ms standalone probe — almost all retrace).
+            pipe2.detector.detect = st.wrap(pipe2.detector.detect, "sift")
+            pipe2.detector.detect_batch = st.wrap(
+                pipe2.detector.detect_batch, "sift")
             t0 = time.perf_counter()
-            pipe3.reconstruct()
+            pipe2.reconstruct()
             prof_dt = time.perf_counter() - t0
         finally:
             for k, v in saved.items():
@@ -313,17 +316,15 @@ def config3_enhanced_e2e(results):
                 saved["_enh_dense_merge_fn"](*a, **k), "dense_merge")
             model.infer_batch = st.wrap(model.infer_batch, "depth")
             model.infer = st.wrap(model.infer, "depth")
-            rec3 = DepthEnhancedReconstruction(K, use_depth=True,
-                                               use_hybrid_features=True,
-                                               depth_model=model,
-                                               verbose=False,
-                                               subsample=4, voxel_size=0.02)
-            rec3.detector.detect = st.wrap(rec3.detector.detect,
+            # Profile the WARM rec2 instance (same rationale as config1:
+            # per-instance detector jits retrace on a fresh instance and
+            # the retrace lands in "hybrid_detect" — r4's 2065 ms/frame vs
+            # the 117 ms standalone probe).
+            rec2.detector.detect = st.wrap(rec2.detector.detect,
                                            "hybrid_detect")
-            rec3.detector.detect_batch = st.wrap(rec3.detector.detect_batch,
+            rec2.detector.detect_batch = st.wrap(rec2.detector.detect_batch,
                                                  "hybrid_detect")
-            rec3.load_images(rgb)
-            rec3.reconstruct(output_dir=os.path.join(td, "out3"))
+            rec2.reconstruct(output_dir=os.path.join(td, "out3"))
         finally:
             for k, v in saved.items():
                 setattr(ep, k, v)
@@ -510,6 +511,18 @@ def config6_streaming_pingpong(results):
         cfg = StreamingConfig(voxel_size=0.02, subsample_factor=2,
                               max_depth=10.0, max_map_points=1 << 20,
                               loop_closure=lc)
+        # Warm pass first: a full throwaway session populates the in-process
+        # and persistent compile caches (the closure path compiles its
+        # verify + rebuild-shape insert programs lazily at the FIRST
+        # closure, which the old single-pass measurement charged to
+        # closure_on's fps — r4 recorded 242 s of "loop_verify" that was
+        # mostly remote compile). The timed pass below then measures
+        # steady-state; cold-vs-warm is reported as compile_overhead_s.
+        t0 = time.perf_counter()
+        rec_w = StreamingReconstructor(folder.intrinsics, depth_model=model,
+                                       config=cfg, verbose=False)
+        rec_w.run(ListSource(seq, folder.intrinsics))
+        cold_s = time.perf_counter() - t0
         rec = StreamingReconstructor(folder.intrinsics, depth_model=model,
                                      config=cfg, verbose=False)
         # Closure-stage attribution (VERDICT r3 #4: nothing recorded where
@@ -543,7 +556,8 @@ def config6_streaming_pingpong(results):
         entry = {"frames": n, "fps": round(n / dt, 2),
                  "end_drift": round(d, 4),
                  "drift_per_path": round(d / max(path, 1e-9), 4),
-                 "loops_closed": rec.loops_closed}
+                 "loops_closed": rec.loops_closed,
+                 "compile_overhead_s": round(max(cold_s - dt, 0.0), 1)}
         if lc:
             # close_loop_total double-counts its inner stages; report the
             # solve/rebuild split and the residual separately.

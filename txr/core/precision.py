@@ -32,7 +32,13 @@ import jax
 
 
 def f32_dots(fn):
-    """Trace-time decorator: full-f32 matmul/conv precision inside ``fn``."""
+    """Trace-time decorator: full-f32 matmul/conv precision inside ``fn``.
+
+    TXR_F32_DOTS=0 disables the context (bench attribution only — it
+    reintroduces the 8% TPU metric-scale error; never ship with it set)."""
+    import os
+    if os.environ.get("TXR_F32_DOTS", "1") == "0":
+        return fn
 
     @wraps(fn)
     def wrapper(*args, **kwargs):
