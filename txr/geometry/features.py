@@ -167,7 +167,11 @@ class SIFTDetector:
                                       edge_threshold=et)
                     return f.uv, f.desc, f.mask
 
-                return jax.lax.map(one, grays_u8)
+                # vmap, not lax.map: the per-keypoint gather passes run at
+                # poor VPU utilization per single frame; batching them to
+                # (B, cap) rows measured 87.5 -> ~35 ms/frame inside the
+                # fused stream step (tools/probe_stream_stages.py, r5).
+                return jax.vmap(one)(grays_u8)
 
             cache[(h, w)] = fn
         return fn

@@ -63,47 +63,6 @@ def _rotate(A, V, p: int, q: int):
     return A, V
 
 
-def _rotate_dyn(A, V, p, q):
-    """_rotate with TRACED p < q (dynamic-slice row/col updates).
-
-    Identical math to `_rotate`; exists so the sweep schedule can run under
-    `lax.scan` instead of being Python-unrolled. The unrolled form traced
-    sweeps*d*(d-1)/2 rotation bodies into EVERY program touching the
-    geometry stack — 41 s of tracing + multi-second persistent-cache
-    deserialization per program on the 1-CPU test box, and minutes of
-    remote TPU compile (measured round 5; the scan form cuts the jaxpr by
-    ~100x with no change in numerics)."""
-    idx = lambda x, i, ax: lax.dynamic_index_in_dim(x, i, axis=ax,
-                                                    keepdims=False)
-
-    def upd(x, new, i, ax):
-        return lax.dynamic_update_slice_in_dim(
-            x, jnp.expand_dims(new, ax), i, axis=ax)
-
-    rp = idx(A, p, -2)
-    rq = idx(A, q, -2)
-    app = idx(rp, p, -1)
-    aqq = idx(rq, q, -1)
-    apq = idx(rp, q, -1)
-    small = jnp.abs(apq) <= 1e-30 * (jnp.abs(app) + jnp.abs(aqq) + 1e-30)
-    tau = (aqq - app) / jnp.where(small, 1.0, 2.0 * apq)
-    sgn = jnp.where(tau >= 0.0, 1.0, -1.0)
-    t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
-    t = jnp.where(small, 0.0, t)
-    c = 1.0 / jnp.sqrt(1.0 + t * t)
-    s = t * c
-    cc, ss = c[..., None], s[..., None]
-
-    A = upd(upd(A, cc * rp - ss * rq, p, -2), ss * rp + cc * rq, q, -2)
-    cp = idx(A, p, -1)
-    cq = idx(A, q, -1)
-    A = upd(upd(A, cc * cp - ss * cq, p, -1), ss * cp + cc * cq, q, -1)
-    vp = idx(V, p, -1)
-    vq = idx(V, q, -1)
-    V = upd(upd(V, cc * vp - ss * vq, p, -1), ss * vp + cc * vq, q, -1)
-    return A, V
-
-
 @f32_dots
 def eigh_jacobi(M: jnp.ndarray, sweeps: int = _SWEEPS):
     """Eigendecomposition of symmetric M (..., d, d), d small and static.
@@ -111,25 +70,30 @@ def eigh_jacobi(M: jnp.ndarray, sweeps: int = _SWEEPS):
     Returns (w, V) with M V = V diag(w); w UNSORTED (use argmin/argmax).
     Matches jnp.linalg.eigh up to column order/sign at f32 precision.
 
-    The cyclic sweep schedule is static; it runs as ONE lax.scan over the
-    (p, q) sequence so the traced program stays ~d*(d-1)/2*sweeps times
-    smaller than the old Python unroll (see _rotate_dyn). Per-iteration
-    work is batched over all leading axes, so the scan's sequential
-    overhead is amortized at RANSAC batch sizes."""
+    The sweep loop runs under lax.scan so the traced program stays
+    `sweeps`-fold smaller than a full Python unroll — the unrolled form
+    cost ~41 s of tracing + multi-second persistent-cache deserialization
+    per geometry program on the 1-CPU test box and minutes of remote TPU
+    compile (measured round 5)."""
     d = M.shape[-1]
     A = M.astype(jnp.float32)
     V = jnp.broadcast_to(jnp.eye(d, dtype=jnp.float32), A.shape)
     V = V + jnp.zeros_like(A)  # materialize per-batch identity
-    pairs = jnp.asarray([(p, q) for p in range(d - 1)
-                         for q in range(p + 1, d)], jnp.int32)
-    pqs = jnp.tile(pairs, (sweeps, 1))
 
-    def body(carry, pq):
+    # One SWEEP stays statically unrolled (static p,q slices fuse well on
+    # the VPU); the scan only runs over the 6 sweeps. Scanning over every
+    # rotation with dynamic p,q measured slower on-device (216 tiny
+    # sequential dynamic-slice iterations are latency-bound at RANSAC
+    # batch sizes), while this form keeps both wins: jaxpr ~sweeps-fold
+    # smaller than the full unroll AND unrolled-speed device code.
+    def sweep(carry, _):
         A, V = carry
-        A, V = _rotate_dyn(A, V, pq[0], pq[1])
+        for p in range(d - 1):
+            for q in range(p + 1, d):
+                A, V = _rotate(A, V, p, q)
         return (A, V), None
 
-    (A, V), _ = lax.scan(body, (A, V), pqs)
+    (A, V), _ = lax.scan(sweep, (A, V), None, length=sweeps)
     w = jnp.diagonal(A, axis1=-2, axis2=-1)
     return w, V
 

@@ -401,25 +401,34 @@ def build_fused_stream_batch_step(model, intr, cfg, *, h: int, w: int,
         eye3 = jnp.eye(3, dtype=jnp.float32)
         zero3 = jnp.zeros((3,), jnp.float32)
 
-        def body(carry, xs):
-            (prev_uv, prev_desc, prev_mask, R_st, t_st,
-             scale_st, key_st, n_fused_st) = carry
-            bgr_i, depth_i, valid_i = xs
-            rgb_i = bgr_i[..., ::-1]
-
+        # ---- feature detection, batched over all B frames ------------------
+        # Detection is pure per-frame (no carry dependence), so it runs
+        # VMAPPED before the scan: per-keypoint gather passes at batch 1
+        # are VPU-latency-bound (87.5 ms/frame measured inside the scan vs
+        # ~35 vmapped — tools/probe_stream_stages.py, r5).
+        def detect_one(bgr_i):
             gray = _bgr_to_gray_u8(bgr_i)
             if use_clahe:
                 gray = clahe.__wrapped__(gray, 2.0, 8)
             f = sift_features(gray, capacity=feature_capacity,
                               contrast_threshold=contrast_threshold,
                               edge_threshold=edge_threshold)
+            return f.uv, f.desc, f.mask
+
+        uv_all, desc_all, mask_all = jax.vmap(detect_one)(frames_u8)
+
+        def body(carry, xs):
+            (prev_uv, prev_desc, prev_mask, R_st, t_st,
+             scale_st, key_st, n_fused_st) = carry
+            bgr_i, depth_i, valid_i, f_uv, f_desc, f_mask = xs
+            rgb_i = bgr_i[..., ::-1]
 
             first = n_fused_st == 0
             key_next, sub = jax.random.split(key_st)
             key_next = jnp.where(first, key_st, key_next)
             idx2, ok = match_l2_ratio.__wrapped__(
-                prev_desc, f.desc, prev_mask, f.mask, 0.75)
-            uv2 = f.uv[idx2]
+                prev_desc, f_desc, prev_mask, f_mask, 0.75)
+            uv2 = f_uv[idx2]
             R_rel, t_rel, X, valid3, n_inl = pair_step.__wrapped__(
                 prev_uv, uv2, ok, K, sub, 2.0, min_depth, max_depth * 10)
             n_inl = jnp.where(first, 0, n_inl)
@@ -490,9 +499,9 @@ def build_fused_stream_batch_step(model, intr, cfg, *, h: int, w: int,
 
             # Padding frames leave the carry untouched.
             new_carry = (
-                jnp.where(valid_i, f.uv, prev_uv),
-                jnp.where(valid_i, f.desc, prev_desc),
-                jnp.where(valid_i, f.mask, prev_mask),
+                jnp.where(valid_i, f_uv, prev_uv),
+                jnp.where(valid_i, f_desc, prev_desc),
+                jnp.where(valid_i, f_mask, prev_mask),
                 jnp.where(valid_i & fused, R_pose, R_st),
                 jnp.where(valid_i & fused, t_pose, t_st),
                 jnp.where(valid_i, scale, scale_st),
@@ -501,16 +510,19 @@ def build_fused_stream_batch_step(model, intr, cfg, *, h: int, w: int,
             )
             outs = (ps.xyz, ps.rgb, ins_mask,
                     R_pose, t_pose, scale, jnp.sum(ok), n_inl, fused,
-                    icp_frac, f.uv, f.desc, f.mask, kf_xyz, kf_rgb, kf_mask)
+                    icp_frac, kf_xyz, kf_rgb, kf_mask)
             return new_carry, outs
 
         carry0 = (state.prev_uv, state.prev_desc, state.prev_mask,
                   state.R, state.t, state.scale, state.key, state.n_fused)
         valid = jnp.arange(B) < n_valid
-        carry, outs = jax.lax.scan(body, carry0, (frames_u8, depth, valid))
+        carry, outs = jax.lax.scan(
+            body, carry0,
+            (frames_u8, depth, valid, uv_all, desc_all, mask_all))
         (xyz_b, rgb_b, mask_b, R_b, t_b, scale_b, n_match_b, n_inl_b,
-         fused_b, icp_frac_b, uv_b, desc_b, fmask_b,
-         kf_xyz_b, kf_rgb_b, kf_mask_b) = outs
+         fused_b, icp_frac_b, kf_xyz_b, kf_rgb_b, kf_mask_b) = outs
+        # Feature diags come straight from the hoisted batched detection.
+        uv_b, desc_b, fmask_b = uv_all, desc_all, mask_all
 
         cap_pts = xyz_b.shape[1]
         ps_all = PointSet(xyz=xyz_b.reshape(B * cap_pts, 3),

@@ -59,6 +59,10 @@ logger = logging.getLogger(__name__)
 
 MIN_INLIERS = 15  # rtabmap rgbd_odometry Vis/MinInliers (slam.launch.py:115)
 
+# Jitted fused-step programs, shared across reconstructor instances (see
+# StreamingReconstructor._step_key).
+_FUSED_STEP_CACHE: dict = {}
+
 
 def _sketch_jit(desc, mask):
     from txr.geometry.appearance import appearance_sketch_jax
@@ -122,7 +126,6 @@ class StreamingReconstructor:
         # whenever a depth model is present; process_frame stays stepwise for
         # the per-frame API (ROS2 nodes feed that).
         self.fused = fused
-        self._fused_steps: dict = {}   # (h, w) -> jitted step
         self._fused_state = None
         self._loop_verify_fn = None    # lazily built batched loop verifier
 
@@ -602,12 +605,33 @@ class StreamingReconstructor:
 
     # ------------------------------------------------------- fused hot loop
 
+    def _step_key(self, h: int, w: int, b: Optional[int] = None):
+        """Everything that shapes the compiled step program. Keyed at
+        MODULE level (_FUSED_STEP_CACHE) so a second reconstructor over the
+        same model/config reuses the jitted step instead of re-tracing —
+        a fresh instance used to pay seconds of retrace + persistent-cache
+        load on its first batch, which also polluted every bench that
+        measured a freshly-built instance (r4 config5 recorded 1547
+        ms/frame for a step that executes in ~133)."""
+        m = self.depth_model
+        return (id(m), m.version, m.encoder, m.input_size, h, w, b,
+                float(self.intr.fx), float(self.intr.fy),
+                float(self.intr.cx), float(self.intr.cy),
+                self.detector.capacity, self.detector.contrast_threshold,
+                float(self.detector.edge_threshold),
+                self.detector.use_clahe, self.use_icp, self.metric_depth,
+                self.icp_sample, float(self.cfg.min_depth),
+                float(self.cfg.max_depth), int(self.cfg.subsample_factor),
+                int(self.cfg.icp_iterations),
+                float(self.cfg.icp_max_correspondence),
+                int(self.cfg.kf_cloud_points))
+
     def _fused_step_for(self, h: int, w: int):
-        key = (h, w)
-        if key not in self._fused_steps:
+        key = self._step_key(h, w)
+        if key not in _FUSED_STEP_CACHE:
             from txr.pipelines.stream_step import build_fused_stream_step
 
-            self._fused_steps[key] = build_fused_stream_step(
+            _FUSED_STEP_CACHE[key] = build_fused_stream_step(
                 self.depth_model, self.intr, self.cfg, h=h, w=w,
                 feature_capacity=self.detector.capacity,
                 contrast_threshold=self.detector.contrast_threshold,
@@ -615,7 +639,7 @@ class StreamingReconstructor:
                 use_clahe=self.detector.use_clahe,
                 use_icp=self.use_icp, metric_depth=self.metric_depth,
                 icp_sample=self.icp_sample)
-        return self._fused_steps[key]
+        return _FUSED_STEP_CACHE[key]
 
     def _maybe_keyframe_fused(self, diag, bgr, cloud=None) -> bool:
         """Keyframe/loop-closure bookkeeping for one fused frame. The big
@@ -732,11 +756,11 @@ class StreamingReconstructor:
         return self.frames_processed
 
     def _fused_batch_step_for(self, h: int, w: int, b: int):
-        key = (h, w, b)
-        if key not in self._fused_steps:
+        key = self._step_key(h, w, b)
+        if key not in _FUSED_STEP_CACHE:
             from txr.pipelines.stream_step import build_fused_stream_batch_step
 
-            self._fused_steps[key] = build_fused_stream_batch_step(
+            _FUSED_STEP_CACHE[key] = build_fused_stream_batch_step(
                 self.depth_model, self.intr, self.cfg, h=h, w=w, batch=b,
                 feature_capacity=self.detector.capacity,
                 contrast_threshold=self.detector.contrast_threshold,
@@ -745,7 +769,7 @@ class StreamingReconstructor:
                 use_icp=self.use_icp, metric_depth=self.metric_depth,
                 icp_sample=self.icp_sample,
                 kf_cloud_points=self.cfg.kf_cloud_points)
-        return self._fused_steps[key]
+        return _FUSED_STEP_CACHE[key]
 
     def _run_fused_batched(self, source, max_frames: Optional[int] = None) -> int:
         """Batched fused streaming: ONE device program + ONE H2D per
