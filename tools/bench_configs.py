@@ -362,9 +362,20 @@ def config4_v3_metric_video(results):
         proc = DepthProcessor(model=model, source=src, output_dir=td,
                               mode="both", pointcloud_downsample=4,
                               max_depth=80.0)
-        model.infer(img0)  # warm compile outside the timed loop
+        model.infer(img0)  # warm the sequential-path compile
         t0 = time.perf_counter()
-        n = proc.process(show_preview=False)
+        proc.process(show_preview=False)  # cold: fused-batch compile included
+        cold = time.perf_counter() - t0
+        # Warm timed pass (fresh replay; the fused-batch program is cached
+        # at module level now): r4 recorded the ViT-L fused-batch compile
+        # as 1.3 s/frame of unattributed "host" time.
+        src1 = VideoSource(vid, fps_mode="custom", fps_percent=50.0)
+        proc1 = DepthProcessor(model=model, source=src1,
+                               output_dir=os.path.join(td, "warm"),
+                               mode="both", pointcloud_downsample=4,
+                               max_depth=80.0)
+        t0 = time.perf_counter()
+        n = proc1.process(show_preview=False)
         dt = time.perf_counter() - t0
         n = n if isinstance(n, int) and n else len(files) // 2
 
@@ -416,6 +427,7 @@ def config4_v3_metric_video(results):
     results["v3_metric_vkitti_video_50pct"] = {
         "frames": n, "seconds": round(dt, 2), "fps": round(n / dt, 2),
         "relay": relay,
+        "compile_overhead_s": round(max(cold - dt, 0.0), 1),
         **st.split(dt, max(n2 if isinstance(n2, int) else n, 1))}
     log(f"config4 v3 metric video: {n} frames in {dt:.1f}s = {n/dt:.2f} fps")
 

@@ -95,6 +95,7 @@ class SIFTDetector:
         backend = resolve_backend(backend)
         self.backend = backend
         self.use_clahe = use_clahe
+        self.n_features = n_features
         self.contrast_threshold = contrast_threshold
         self.edge_threshold = edge_threshold
         self.capacity = capacity
@@ -137,6 +138,7 @@ class SIFTDetector:
             gray, capacity=self.capacity,
             contrast_threshold=self.contrast_threshold,
             edge_threshold=float(self.edge_threshold),
+            n_features=self.n_features,
         )
         return Features(np.asarray(f.uv), np.asarray(f.desc),
                         np.asarray(f.mask), "sift")
@@ -157,6 +159,7 @@ class SIFTDetector:
             ct = float(self.contrast_threshold)
             et = float(self.edge_threshold)
             uc = self.use_clahe
+            nf = self.n_features
 
             @jax.jit
             def fn(grays_u8):  # (B, h, w) uint8
@@ -164,14 +167,16 @@ class SIFTDetector:
                     if uc:
                         g = clahe_op.__wrapped__(g, 2.0, 8)
                     f = sift_features(g, capacity=cap, contrast_threshold=ct,
-                                      edge_threshold=et)
+                                      edge_threshold=et, n_features=nf)
                     return f.uv, f.desc, f.mask
 
-                # vmap, not lax.map: the per-keypoint gather passes run at
-                # poor VPU utilization per single frame; batching them to
-                # (B, cap) rows measured 87.5 -> ~35 ms/frame inside the
-                # fused stream step (tools/probe_stream_stages.py, r5).
-                return jax.vmap(one)(grays_u8)
+                # lax.map, NOT vmap: vmapping the SIFT passes measured
+                # 104.5 ms/frame vs 37.8 sequential at capacity 8192
+                # (tools/probe_device_features.py, r5) — the pre-packed
+                # single-row-gather footprint passes (a769a09) lower to a
+                # much slower two-axis gather once a batch dim is mapped
+                # in. Sequential per-frame keeps the optimized lowering.
+                return jax.lax.map(one, grays_u8)
 
             cache[(h, w)] = fn
         return fn

@@ -255,10 +255,11 @@ def _smooth_hist_circular(h: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("capacity", "n_octaves", "n_scales",
-                                   "sigma0", "contrast_thr", "edge_thr"))
+                                   "sigma0", "contrast_thr", "edge_thr",
+                                   "n_active"))
 def _sift_impl(gray: jnp.ndarray, capacity: int, n_octaves: int,
                n_scales: int, sigma0: float, contrast_thr: float,
-               edge_thr: float) -> SiftFeatures:
+               edge_thr: float, n_active: int) -> SiftFeatures:
     H, W = gray.shape
     S = n_scales
 
@@ -301,7 +302,15 @@ def _sift_impl(gray: jnp.ndarray, capacity: int, n_octaves: int,
     resp = jnp.concatenate([c[5] for c in cands])
     ok = jnp.concatenate([c[6] for c in cands])
 
-    top, pick = jax.lax.top_k(jnp.where(ok, resp, -1.0), capacity)
+    # top_k returns rows response-sorted DESCENDING, so the strongest
+    # n_active candidates are a prefix slice. The per-keypoint orientation
+    # + descriptor passes below are gather-DESCRIPTOR-bound (cost ∝ rows ×
+    # samples, independent of how many rows are valid), so they run only
+    # on that prefix — cv2's own n_features truncation keeps exactly the
+    # strongest n (reference depth_to_reconstruction.py:133: SIFT_create
+    # nfeatures=3000 at capacity budgets of 4096-8192). Outputs are padded
+    # back to `capacity` rows with mask=False.
+    top, pick = jax.lax.top_k(jnp.where(ok, resp, -1.0), n_active)
     oct_i = jnp.take(oct_i, pick)
     s_i = jnp.take(s_i, pick)
     yf = jnp.take(yf, pick)
@@ -459,19 +468,33 @@ def _sift_impl(gray: jnp.ndarray, capacity: int, n_octaves: int,
     uv = jnp.stack([xf * scale_mult, yf * scale_mult], axis=-1)
     size = sigma_rel * scale_mult * 2.0
     angle_deg = jnp.mod(-jnp.degrees(theta), 360.0)  # cv2's y-down convention
+    pad = capacity - n_active
+    if pad > 0:
+        uv = jnp.pad(uv, ((0, pad), (0, 0)))
+        size = jnp.pad(size, (0, pad))
+        angle_deg = jnp.pad(angle_deg, (0, pad))
+        resp = jnp.pad(resp, (0, pad))
+        desc = jnp.pad(desc, ((0, pad), (0, 0)))
+        mask = jnp.pad(mask, (0, pad))
     return SiftFeatures(uv, size, angle_deg, resp, desc, mask)
 
 
 def sift_features(gray, capacity: int = 4096, n_octaves: int | None = None,
                   n_scales: int = 3, sigma0: float = 1.6,
                   contrast_threshold: float = 0.04,
-                  edge_threshold: float = 10.0) -> SiftFeatures:
+                  edge_threshold: float = 10.0,
+                  n_features: int | None = None) -> SiftFeatures:
     """Detect + describe SIFT features of a (H, W) image on device.
 
     `gray` may be uint8 (0..255) or float (0..1). Returns fixed-capacity
     arrays; invalid rows are masked. Defaults mirror cv2.SIFT_create; the
     fusion pipeline overrides contrast_threshold=0.01, edge_threshold=15
     (reference depth_to_reconstruction.py:133-137).
+
+    `n_features` (cv2 nfeatures): keep only the strongest n keypoints.
+    Also a perf lever — the per-keypoint gather passes then run on
+    ceil128(n_features) rows instead of all `capacity` rows (the gathers
+    are the dominant device cost; see _sift_impl).
     """
     gray = jnp.asarray(gray)
     if gray.dtype == jnp.uint8 or gray.dtype == np.uint8:
@@ -481,5 +504,10 @@ def sift_features(gray, capacity: int = 4096, n_octaves: int | None = None,
     H, W = gray.shape
     if n_octaves is None:
         n_octaves = max(1, min(5, int(math.log2(max(min(H, W) / 16.0, 2.0)))))
-    return _sift_impl(gray, capacity, n_octaves, n_scales, float(sigma0),
-                      float(contrast_threshold), float(edge_threshold))
+    n_active = capacity
+    if n_features is not None:
+        n_active = min(capacity, max(128, ((int(n_features) + 127) // 128) * 128))
+    return _sift_impl(gray, capacity=capacity, n_octaves=n_octaves,
+                      n_scales=n_scales, sigma0=float(sigma0),
+                      contrast_thr=float(contrast_threshold),
+                      edge_thr=float(edge_threshold), n_active=n_active)

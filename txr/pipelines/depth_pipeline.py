@@ -43,6 +43,10 @@ from txr.ops.backproject import backproject
 
 logger = logging.getLogger(__name__)
 
+# Jitted fused-batch programs, shared across DepthProcessor instances (see
+# DepthProcessor._fused_batch_fn).
+_BATCH_JIT_CACHE: dict = {}
+
 
 class PointCloudGenerator:
     """Depth → camera-frame colored point cloud
@@ -109,7 +113,6 @@ class DepthProcessor:
         self.pc_generator = PointCloudGenerator(
             source.intrinsics, downsample_factor=pointcloud_downsample)
         self.batch_size = batch_size
-        self._batch_jit = {}
 
         self.ros2_node = None
         if enable_ros2:
@@ -148,10 +151,22 @@ class DepthProcessor:
 
     def _fused_batch_fn(self, b: int, h: int, w: int):
         """One jitted program for a frame batch: preprocess → model →
-        upsample (+ V3 focal scaling) → vmapped back-projection."""
-        key = (b, h, w, self.mode in ("pointcloud", "both"))
-        if key in self._batch_jit:
-            return self._batch_jit[key]
+        upsample (+ V3 focal scaling) → vmapped back-projection.
+
+        Cached at MODULE level on everything that shapes the program, so a
+        second DepthProcessor over the same model/source reuses the jitted
+        program instead of re-tracing (the retrace + persistent-cache load
+        of a ViT-L program is minutes on the relay and polluted r4's
+        config4 bench as unattributed 'host' time)."""
+        intr0 = self.source.intrinsics
+        key = (id(self.model), b, h, w, self.mode in ("pointcloud", "both"),
+               None if intr0 is None else
+               (float(intr0.fx), float(intr0.fy), float(intr0.cx),
+                float(intr0.cy), float(intr0.depth_scale)),
+               float(self.min_depth), float(self.max_depth),
+               int(self.pc_generator.downsample))
+        if key in _BATCH_JIT_CACHE:
+            return _BATCH_JIT_CACHE[key]
 
         import jax
 
@@ -188,7 +203,7 @@ class DepthProcessor:
                                    intr.depth_scale, stride)
             return depth, (ps.xyz, ps.rgb, ps.mask)
 
-        self._batch_jit[key] = run
+        _BATCH_JIT_CACHE[key] = run
         return run
 
     def process(self, show_preview: bool = False):

@@ -123,6 +123,7 @@ def _bgr_to_gray_u8(bgr_u8: jnp.ndarray) -> jnp.ndarray:
 
 def build_fused_stream_step(model, intr, cfg, *, h: int, w: int,
                             feature_capacity: int = 4096,
+                            n_features: int | None = None,
                             contrast_threshold: float = 0.01,
                             edge_threshold: float = 15.0,
                             use_clahe: bool = True,
@@ -179,7 +180,8 @@ def build_fused_stream_step(model, intr, cfg, *, h: int, w: int,
             gray = clahe.__wrapped__(gray, 2.0, 8)
         f = sift_features(gray, capacity=feature_capacity,
                           contrast_threshold=contrast_threshold,
-                          edge_threshold=edge_threshold)
+                          edge_threshold=edge_threshold,
+                          n_features=n_features)
 
         # ---- relative pose vs previous frame (streaming.py:111-128) --------
         first = state.n_fused == 0
@@ -315,6 +317,7 @@ class FusedStreamBatchDiag(NamedTuple):
 def build_fused_stream_batch_step(model, intr, cfg, *, h: int, w: int,
                                   batch: int,
                                   feature_capacity: int = 4096,
+                                  n_features: int | None = None,
                                   contrast_threshold: float = 0.01,
                                   edge_threshold: float = 15.0,
                                   use_clahe: bool = True,
@@ -401,21 +404,28 @@ def build_fused_stream_batch_step(model, intr, cfg, *, h: int, w: int,
         eye3 = jnp.eye(3, dtype=jnp.float32)
         zero3 = jnp.zeros((3,), jnp.float32)
 
-        # ---- feature detection, batched over all B frames ------------------
+        # ---- feature detection, hoisted out of the scan --------------------
         # Detection is pure per-frame (no carry dependence), so it runs
-        # VMAPPED before the scan: per-keypoint gather passes at batch 1
-        # are VPU-latency-bound (87.5 ms/frame measured inside the scan vs
-        # ~35 vmapped — tools/probe_stream_stages.py, r5).
+        # before the scan. lax.map, not vmap: vmapping SIFT's packed
+        # single-row-gather passes lowers to a slower two-axis gather
+        # (104.5 vs 37.8 ms/frame standalone at cap 8192 —
+        # tools/probe_device_features.py, r5); TXR_SIFT_HOIST=vmap is the
+        # probe knob to re-measure.
         def detect_one(bgr_i):
             gray = _bgr_to_gray_u8(bgr_i)
             if use_clahe:
                 gray = clahe.__wrapped__(gray, 2.0, 8)
             f = sift_features(gray, capacity=feature_capacity,
                               contrast_threshold=contrast_threshold,
-                              edge_threshold=edge_threshold)
+                              edge_threshold=edge_threshold,
+                              n_features=n_features)
             return f.uv, f.desc, f.mask
 
-        uv_all, desc_all, mask_all = jax.vmap(detect_one)(frames_u8)
+        import os as _os
+        if _os.environ.get("TXR_SIFT_HOIST", "map") == "vmap":
+            uv_all, desc_all, mask_all = jax.vmap(detect_one)(frames_u8)
+        else:
+            uv_all, desc_all, mask_all = jax.lax.map(detect_one, frames_u8)
 
         def body(carry, xs):
             (prev_uv, prev_desc, prev_mask, R_st, t_st,

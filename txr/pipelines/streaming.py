@@ -617,7 +617,8 @@ class StreamingReconstructor:
         return (id(m), m.version, m.encoder, m.input_size, h, w, b,
                 float(self.intr.fx), float(self.intr.fy),
                 float(self.intr.cx), float(self.intr.cy),
-                self.detector.capacity, self.detector.contrast_threshold,
+                self.detector.capacity, self.detector.n_features,
+                self.detector.contrast_threshold,
                 float(self.detector.edge_threshold),
                 self.detector.use_clahe, self.use_icp, self.metric_depth,
                 self.icp_sample, float(self.cfg.min_depth),
@@ -634,6 +635,7 @@ class StreamingReconstructor:
             _FUSED_STEP_CACHE[key] = build_fused_stream_step(
                 self.depth_model, self.intr, self.cfg, h=h, w=w,
                 feature_capacity=self.detector.capacity,
+                n_features=self.detector.n_features,
                 contrast_threshold=self.detector.contrast_threshold,
                 edge_threshold=float(self.detector.edge_threshold),
                 use_clahe=self.detector.use_clahe,
@@ -763,6 +765,7 @@ class StreamingReconstructor:
             _FUSED_STEP_CACHE[key] = build_fused_stream_batch_step(
                 self.depth_model, self.intr, self.cfg, h=h, w=w, batch=b,
                 feature_capacity=self.detector.capacity,
+                n_features=self.detector.n_features,
                 contrast_threshold=self.detector.contrast_threshold,
                 edge_threshold=float(self.detector.edge_threshold),
                 use_clahe=self.detector.use_clahe,
