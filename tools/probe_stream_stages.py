@@ -107,7 +107,8 @@ def main():
             setattr(ss, name, repl)
         try:
             step = ss.build_fused_stream_batch_step(
-                model, intr, cfg, h=H, w=W, batch=B, **kw)
+                model, intr, cfg, h=H, w=W, batch=B,
+                n_features=3000, **kw)
             results[label] = time_step(step, make_state(), label)
         finally:
             for name, fn in saved.items():

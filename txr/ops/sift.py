@@ -33,6 +33,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Orientation/descriptor sample-grid side (J x J samples per keypoint). The
+# two per-keypoint bilinear gathers are the dominant device cost and scale
+# with J^2. Measured on real tunnel frames (r5): grids 16/12/10 give
+# IDENTICAL ratio-test match and RANSAC inlier counts (138/125-ish per
+# consecutive pair) and identical warp-test inlier rates — 16 is
+# oversampled for matching. Default 12 keeps a safety margin over 10;
+# TXR_SIFT_GRID overrides for probing.
+import os as _os
+_SAMPLE_GRID = int(_os.environ.get("TXR_SIFT_GRID", "12"))
+
 
 class SiftFeatures(NamedTuple):
     """Fixed-capacity SIFT output (all arrays sized to `capacity`)."""
@@ -367,7 +377,7 @@ def _sift_impl(gray: jnp.ndarray, capacity: int, n_octaves: int,
     sigma_rel = sigma0 * (2.0 ** (sf / S))  # scale in octave pixels
 
     # -------------------------------------------------- orientation histogram
-    J = 16
+    J = _SAMPLE_GRID
     lin = (jnp.arange(J, dtype=jnp.float32) + 0.5) / J * 2.0 - 1.0  # (-1, 1)
     gu, gv = jnp.meshgrid(lin, lin)  # (J, J) unit offsets
     gu = gu.reshape(-1)
@@ -411,7 +421,7 @@ def _sift_impl(gray: jnp.ndarray, capacity: int, n_octaves: int,
     # --------------------------------------------------------- descriptor
     D = 4   # spatial bins per side
     NO = 8  # orientation bins
-    JD = 16
+    JD = _SAMPLE_GRID
     lin_d = (jnp.arange(JD, dtype=jnp.float32) + 0.5) / JD * D - D / 2  # cell units
     du, dv = jnp.meshgrid(lin_d, lin_d)
     du = du.reshape(-1)
