@@ -588,15 +588,34 @@ def config6_streaming_pingpong(results):
 
 
 def main():
-    results = {"note": ("frame-sequential configs ride the axon relay, whose"
-                        " sync floor DRIFTS round to round (26 ms r1, ~40 r2,"
-                        " 23-127 ms within one r3 run — see each config's"
-                        " sync_floor_ms); compare device_ms_per_frame across"
-                        " rounds, not raw fps. The batched headline bench"
-                        " (bench.py) is the chip-throughput number")}
-    for fn in (config1_fusion_only, config2_depth_images,
-               config3_enhanced_e2e, config4_v3_metric_video,
-               config5_streaming, config6_streaming_pingpong):
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", type=str, default="",
+                    help="comma list of config numbers to run (e.g. 1,3); "
+                         "others keep their existing BENCH_CONFIGS.json "
+                         "entries")
+    args = ap.parse_args()
+    note = ("frame-sequential configs ride the axon relay, whose"
+            " sync floor DRIFTS round to round (26 ms r1, ~40 r2,"
+            " 23-127 ms within one r3 run — see each config's"
+            " sync_floor_ms); compare device_ms_per_frame across"
+            " rounds, not raw fps. The batched headline bench"
+            " (bench.py) is the chip-throughput number")
+    results = {"note": note}
+    configs = {1: config1_fusion_only, 2: config2_depth_images,
+               3: config3_enhanced_e2e, 4: config4_v3_metric_video,
+               5: config5_streaming, 6: config6_streaming_pingpong}
+    wanted = ([int(x) for x in args.only.split(",") if x]
+              if args.only else sorted(configs))
+    if args.only:
+        try:  # partial rerun: keep the other configs' entries
+            with open(OUT) as f:
+                results = json.load(f)
+            results["note"] = note
+        except (OSError, ValueError):
+            pass
+    for i in wanted:
+        fn = configs[i]
         try:
             fn(results)
         except Exception as e:  # record, keep going

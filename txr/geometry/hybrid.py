@@ -42,6 +42,10 @@ class HybridFeatures:
     gray: np.ndarray
 
 
+# Jitted batched hybrid-detect programs, shared across instances.
+_HYBRID_BATCH_CACHE: dict = {}
+
+
 class HybridFeatureDetector:
     """SIFT(3000, 0.02) + ORB(2000, 8 levels) + LSD lines + Canny(50,150).
 
@@ -142,8 +146,13 @@ class HybridFeatureDetector:
     BATCH = 4  # frames per batched device program (4 stages each)
 
     def _device_batch_fn(self, h: int, w: int):
-        cache = self.__dict__.setdefault("_batch_cache", {})
-        fn = cache.get((h, w))
+        # Module-level program cache (same rationale as
+        # features.SIFTDetector._device_batch_fn: fresh detector instances
+        # must not re-trace).
+        key = (h, w, self.use_sift, self.use_orb, self.use_lines,
+               self.use_edges, self.sift_capacity, self.orb_capacity)
+        cache = _HYBRID_BATCH_CACHE
+        fn = cache.get(key)
         if fn is None:
             from txr.ops.canny import canny
             from txr.ops.lsd import lsd_lines
@@ -174,7 +183,7 @@ class HybridFeatureDetector:
 
                 return jax.lax.map(one, grays_u8)
 
-            cache[(h, w)] = fn
+            cache[key] = fn
         return fn
 
     def detect_batch(self, images) -> list:
