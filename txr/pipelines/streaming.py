@@ -260,6 +260,16 @@ class StreamingReconstructor:
 
             min_d, max_d = float(self.cfg.min_depth), float(self.cfg.max_depth)
 
+            # Loop pairs are DISTANT frames: typically ~100-200 ratio-test
+            # matches survive out of the 4096-row capacity, but pair_step's
+            # per-row costs (hypothesis scoring, DLT triangulation, GN
+            # refine) scale with capacity. Compacting to the top VCAP
+            # matched rows cuts the vmapped verify program ~8x (r5: the
+            # 4-candidate verify measured ~490 ms/keyframe and made
+            # closure_on 0.45x closure_off). VCAP=512 keeps 3x headroom
+            # over the observed match counts.
+            VCAP = 512
+
             @jax.jit
             def verify(uv_c, desc_c, mask_c, uv_n, desc_n, mask_n, K, keys,
                        depth):
@@ -267,11 +277,15 @@ class StreamingReconstructor:
                     idx2, ok = match_l2_ratio.__wrapped__(
                         desc1, desc_n, mask1, mask_n, 0.75)
                     uv2 = uv_n[idx2]
+                    _, pick = jax.lax.top_k(ok.astype(jnp.int32), VCAP)
+                    uv1_c = uv1[pick]
+                    uv2_c = uv2[pick]
+                    ok_c = ok[pick]
                     R, t, X, valid, n_inl = pair_step.__wrapped__(
-                        uv1, uv2, ok, K, key, 2.0, min_d, max_d * 10)
+                        uv1_c, uv2_c, ok_c, K, key, 2.0, min_d, max_d * 10)
                     X_curr = X @ R.T + t
                     s = clamp_scale(estimate_scale.__wrapped__(
-                        X_curr, uv2, valid, depth))
+                        X_curr, uv2_c, valid, depth))
                     return (jnp.sum(ok), n_inl, jnp.sum(valid), R, t, s)
 
                 return jax.vmap(one)(uv_c, desc_c, mask_c, keys)
