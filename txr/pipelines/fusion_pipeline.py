@@ -192,15 +192,35 @@ def _pairs_batch(desc, fmask, fuv, K, keys, match_ratio, ransac_threshold,
     (R, t, X, valid, n_inl, n_match, uv1, uv2, ok) with leading dim N-1.
     """
 
+    # pair_step's per-row costs (hypothesis scoring, DLT triangulation,
+    # GN refine) scale with the feature CAPACITY (8192 at the CLI's
+    # nfeatures=8000 operating point), but only the ratio-test MATCHES
+    # matter — textureless scenes yield a few hundred. Compact to the top
+    # PAIR_CAP matched rows (top_k on the mask is stable, so surviving
+    # rows keep their order). Default 4096: paths at capacity ≤ 4096 (the
+    # test/golden operating point) are bit-identical, the 8192 CLI path
+    # halves its pair program. 2048 measured a 0.13%-of-scene-scale scale
+    # shift on dense textured scenes (golden chamfer 0.08 vs the 1e-2
+    # pin) — matches beyond 2048 still carry scale information there.
+    # TXR_PAIR_CAP=0 disables.
+    pair_cap = int(os.environ.get("TXR_PAIR_CAP", "4096"))
+
     def one(d1, m1, u1, d2, m2, u2, key):
         idx2, ok = match_l2_ratio(d1, d2, m1, m2, match_ratio)
         uv2 = u2[idx2]
+        n_match = jnp.sum(ok)
+        u1c = u1
+        if 0 < pair_cap < u1.shape[0]:
+            _, pick = jax.lax.top_k(ok.astype(jnp.int32), pair_cap)
+            u1c = u1[pick]
+            uv2 = uv2[pick]
+            ok = ok[pick]
         # _raw: compose the unjitted body so pair_step's Python-float
         # default (max_reproj) stays a jaxpr literal (see _raw above).
         R, t, X, valid, n_inl = _raw(pair_step)(
-            u1, uv2, ok, K, key, ransac_threshold, min_depth, max_depth,
+            u1c, uv2, ok, K, key, ransac_threshold, min_depth, max_depth,
             num_hypotheses=num_hypotheses)
-        return R, t, X, valid, n_inl, jnp.sum(ok), u1, uv2, ok
+        return R, t, X, valid, n_inl, n_match, u1c, uv2, ok
 
     # lax.map (not vmap): the per-pair (cap, cap) match-distance matrix is
     # ~268 MB f32 at cap 8192 — serializing pairs inside the ONE program
