@@ -214,10 +214,15 @@ class SIFTDetector:
                 n = len(chunk)
                 grays = np.stack([g for _, g in chunk]
                                  + [chunk[-1][1]] * (self.BATCH - n))
-                uv, desc, mask = jax.device_get(fn(jnp.asarray(grays)))
+                # Features stay DEVICE-resident (lazy row slices): the
+                # fusion pipeline re-stacks them for its pair program, and
+                # a D2H+H2D round trip of the descriptor stack is ~8 MB/
+                # frame — seconds per sequence through the relay (r5:
+                # charged 965 ms/frame to the "pairs" stage). numpy
+                # consumers np.asarray() on use.
+                uv, desc, mask = fn(jnp.asarray(grays))
                 for k, (i, _) in enumerate(chunk):
-                    out[i] = Features(uv[k], desc[k], mask[k].astype(bool),
-                                      "sift")
+                    out[i] = Features(uv[k], desc[k], mask[k], "sift")
         return out
 
 

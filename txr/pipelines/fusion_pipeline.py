@@ -432,11 +432,28 @@ class DepthToReconstructionPipeline:
         n2 = p2 + 1
 
         cap = features[0].uv.shape[0]
-        desc = np.zeros((n2, cap, features[0].desc.shape[1]), np.float32)
-        fuv = np.zeros((n2, cap, 2), np.float32)
-        fmask = np.zeros((n2, cap), bool)
-        for i, f in enumerate(features):
-            desc[i], fuv[i], fmask[i] = f.desc, f.uv, f.mask
+        if isinstance(features[0].desc, jnp.ndarray):
+            # Device backend: features never left the device (see
+            # SIFTDetector.detect_batch) — stack them there. The later
+            # jnp.asarray(desc[...]) calls are no-ops on device arrays.
+            pad_rows = n2 - len(features)
+            desc = jnp.concatenate(
+                [jnp.stack([f.desc for f in features])]
+                + ([jnp.zeros((pad_rows, cap, features[0].desc.shape[1]),
+                              jnp.float32)] if pad_rows else []))
+            fuv = jnp.concatenate(
+                [jnp.stack([f.uv for f in features])]
+                + ([jnp.zeros((pad_rows, cap, 2), jnp.float32)]
+                   if pad_rows else []))
+            fmask = jnp.concatenate(
+                [jnp.stack([f.mask for f in features])]
+                + ([jnp.zeros((pad_rows, cap), bool)] if pad_rows else []))
+        else:
+            desc = np.zeros((n2, cap, features[0].desc.shape[1]), np.float32)
+            fuv = np.zeros((n2, cap, 2), np.float32)
+            fmask = np.zeros((n2, cap), bool)
+            for i, f in enumerate(features):
+                desc[i], fuv[i], fmask[i] = f.desc, f.uv, f.mask
         # Pad to the max frame shape — folders may mix resolutions (matched
         # uv never lands in the pad; padded depth reads 0 and masks out
         # downstream, mirroring the per-frame reference loop's tolerance).

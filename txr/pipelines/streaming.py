@@ -282,13 +282,20 @@ class StreamingReconstructor:
                     uv2_c = uv2[pick]
                     ok_c = ok[pick]
                     R, t, X, valid, n_inl = pair_step.__wrapped__(
-                        uv1_c, uv2_c, ok_c, K, key, 2.0, min_d, max_d * 10)
+                        uv1_c, uv2_c, ok_c, K, key, 2.0, min_d, max_d * 10,
+                        num_hypotheses=512)
                     X_curr = X @ R.T + t
                     s = clamp_scale(estimate_scale.__wrapped__(
                         X_curr, uv2_c, valid, depth))
                     return (jnp.sum(ok), n_inl, jnp.sum(valid), R, t, s)
 
-                return jax.vmap(one)(uv_c, desc_c, mask_c, keys)
+                # lax.map, not vmap: vmapping the RANSAC body (batched tiny
+                # Jacobi eigs, masked top_k) lowers poorly — the 4-candidate
+                # vmapped verify measured ~500 ms/keyframe while the same
+                # pair_step runs ~12 ms inside the sequential stream scan
+                # (r5, same law as the SIFT batching).
+                return jax.lax.map(lambda a: one(*a),
+                                   (uv_c, desc_c, mask_c, keys))
 
             self._loop_verify_fn = verify
         return self._loop_verify_fn
