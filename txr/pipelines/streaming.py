@@ -63,6 +63,10 @@ MIN_INLIERS = 15  # rtabmap rgbd_odometry Vis/MinInliers (slam.launch.py:115)
 # StreamingReconstructor._step_key).
 _FUSED_STEP_CACHE: dict = {}
 
+# Jitted loop-verify programs, shared across reconstructor instances (see
+# StreamingReconstructor._loop_verify).
+_LOOP_VERIFY_CACHE: dict = {}
+
 
 def _sketch_jit(desc, mask):
     from txr.geometry.appearance import appearance_sketch_jax
@@ -252,13 +256,24 @@ class StreamingReconstructor:
     def _loop_verify(self):
         """Jitted batched geometric verification: ALL gated candidates go
         through match + RANSAC pose + scale anchor in ONE device program
-        (vmap over the candidate axis). The old per-candidate chain paid
+        (lax.map over the candidate axis). The old per-candidate chain paid
         3-4 host round trips each (match-count gate, inlier gate, validity
-        gate, scale fetch) — seconds per keyframe through the relay."""
+        gate, scale fetch) — seconds per keyframe through the relay.
+
+        Cached at MODULE level (the program depends only on the depth
+        range; shapes specialize per call): the steady program runs in
+        ~50 ms but a fresh reconstructor used to re-trace + cache-load it
+        on its FIRST closure candidate (~3-5 s charged to loop_verify in
+        r5's config6 runs)."""
         if self._loop_verify_fn is None:
+            key = (float(self.cfg.min_depth), float(self.cfg.max_depth))
+            cached = _LOOP_VERIFY_CACHE.get(key)
+            if cached is not None:
+                self._loop_verify_fn = cached
+                return cached
             from txr.ops.matching import match_l2_ratio
 
-            min_d, max_d = float(self.cfg.min_depth), float(self.cfg.max_depth)
+            min_d, max_d = key
 
             # Loop pairs are DISTANT frames: typically ~100-200 ratio-test
             # matches survive out of the 4096-row capacity, but pair_step's
@@ -297,6 +312,7 @@ class StreamingReconstructor:
                 return jax.lax.map(lambda a: one(*a),
                                    (uv_c, desc_c, mask_c, keys))
 
+            _LOOP_VERIFY_CACHE[key] = verify
             self._loop_verify_fn = verify
         return self._loop_verify_fn
 
