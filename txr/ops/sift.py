@@ -79,6 +79,44 @@ def _blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     return x
 
 
+def _blur_multi(img: jnp.ndarray, sigmas) -> jnp.ndarray:
+    """All pyramid levels of one octave in TWO separable conv passes.
+
+    The incremental scheme (level i+1 = blur(level i, inc_i)) is a chain of
+    2(L-1) sequential C=1 convolutions — poor TPU utilization and the bulk
+    of device SIFT's fixed cost. Gaussians compose exactly
+    (G(a)*G(b) = G(sqrt(a^2+b^2))), so every level comes straight from the
+    octave base: one vertical conv with L output channels (one kernel per
+    level) + one horizontal DEPTHWISE conv. Discrete truncated kernels
+    differ from the composed chain at ~1e-3 gray levels — inside the
+    detector's contrast threshold and the match-quality test tolerances.
+
+    img: (H, W) octave base. sigmas: per-level blur RELATIVE to the base
+    (0 → identity). Returns (L, H, W)."""
+    L = len(sigmas)
+    rs = [max(1, int(math.ceil(3.0 * s))) if s > 0 else 0 for s in sigmas]
+    r = max(rs)
+    K = np.zeros((2 * r + 1, L), np.float32)
+    for i, s in enumerate(sigmas):
+        if s <= 0:
+            K[r, i] = 1.0
+        else:
+            k = _gauss_kernel(s)
+            ri = (k.shape[0] - 1) // 2
+            K[r - ri:r + ri + 1, i] = k
+    Kj = jnp.asarray(K)
+    x = jnp.pad(img, ((r, r), (0, 0)), mode="reflect")
+    v = jax.lax.conv_general_dilated(
+        x[None, :, :, None], Kj[:, None, None, :], (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # (1, H, W, L)
+    v = jnp.pad(v, ((0, 0), (0, 0), (r, r), (0, 0)), mode="reflect")
+    h = jax.lax.conv_general_dilated(
+        v, Kj[None, :, None, :], (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=L)  # depthwise: kernel i on channel i
+    return jnp.moveaxis(h[0], -1, 0)
+
+
 def _shift2(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     """Shift a (..., H, W) stack, edge-padded (borders never become extrema
     anyway — they are masked off)."""
@@ -276,15 +314,17 @@ def _sift_impl(gray: jnp.ndarray, capacity: int, n_octaves: int,
     # ------------------------------------------------------------- pyramid
     sig = [sigma0 * (2.0 ** (i / S)) for i in range(S + 3)]
     base = _blur(gray, math.sqrt(max(sigma0 ** 2 - 0.25, 0.01)))
+    # Per-level sigmas RELATIVE to the octave base (level 0 ≡ base):
+    # Gaussian composition replaces the sequential incremental-blur chain
+    # with one two-pass multi-channel conv per octave (see _blur_multi).
+    rel = [0.0] + [math.sqrt(max(sig[i] ** 2 - sig[0] ** 2, 1e-6))
+                   for i in range(1, S + 3)]
     octaves = []  # list of (S+3, Ho, Wo)
     img = base
     for o in range(n_octaves):
-        levels = [img]
-        for i in range(1, S + 3):
-            inc = math.sqrt(max(sig[i] ** 2 - sig[i - 1] ** 2, 1e-6))
-            levels.append(_blur(levels[-1], inc))
-        octaves.append(jnp.stack(levels))
-        img = levels[S][::2, ::2]  # next octave seeds from the 2x-sigma level
+        g = _blur_multi(img, rel)
+        octaves.append(g)
+        img = g[S, ::2, ::2]  # next octave seeds from the 2x-sigma level
 
     # ---------------------------------------------------- per-octave extrema
     cands = []
